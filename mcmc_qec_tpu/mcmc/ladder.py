@@ -1,0 +1,153 @@
+"""Parallel-tempering ladder with replica exchange, batched over syndromes.
+
+TPU-native redesign of ``Ladder``/``Ladder_biased``/``Ladder_alpha``
+(src/mcmc.py:49-103, src/mcmc_biased.py:66-124, src/mcmc_alpha.py:77-137):
+the ladder is an array axis, rung temperatures are rows of a (Nc, 3) beta
+table, and one generalized swap rule
+
+    log r = sum_i (beta_hi_i - beta_lo_i) * (n_hi_i - n_lo_i)
+
+reproduces all three reference variants exactly (depolarizing/biased have
+equal per-Pauli betas so the rule collapses to rel_p**(ne_hi - ne_lo),
+src/mcmc.py:86-92,144-149; alpha collapses to
+(pz_lo/pz_hi)**(n_eff_hi - n_eff_lo), src/mcmc_alpha.py:117-123).
+
+The swap sweep is sequential top->bottom like the reference (mcmc.py:96-99)
+so a replica can fall the whole ladder in one step — this drives the tops0
+round-trip counter used for burn-in/convergence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import CodeSpec
+from ..ops.metropolis import make_chain_update
+from ..ops.pauli import count_errors_xyz, eq_class
+
+
+class LadderState(NamedTuple):
+    """Batched ladder state: B independent ladders of Nc chains each."""
+
+    state: jax.Array  # (B, Nc, nq) uint8
+    flag: jax.Array  # (B, Nc) int32 — 1 marks the descendant of a top chain
+    tops0: jax.Array  # (B,) int32 — count of top-flags reaching the bottom
+
+
+# ---------------------------------------------------------------------------
+# Beta tables
+# ---------------------------------------------------------------------------
+
+
+def betas_xyz(p_x, p_y, p_z) -> np.ndarray:
+    """beta_i = -ln(p_i / (1 - p_total)) (the unified acceptance form)."""
+    p = p_x + p_y + p_z
+    return -np.log(np.array([p_x, p_y, p_z]) / (1.0 - p))
+
+
+def betas_depolarizing(p: float) -> np.ndarray:
+    return betas_xyz(p / 3.0, p / 3.0, p / 3.0)
+
+
+def beta_ladder_depolarizing(p_bottom: float, Nc: int, p_top: float = 0.75) -> np.ndarray:
+    """linspace p-ladder bottom -> 0.75 (src/mcmc.py:62-66)."""
+    ps = np.linspace(p_bottom, p_top, Nc)
+    return np.stack([betas_depolarizing(p) for p in ps])
+
+
+def beta_ladder_biased(p_bottom: float, eta: float, Nc: int) -> np.ndarray:
+    """p_top = (eta+1)/(2*eta+1) (src/mcmc_biased.py:83-86)."""
+    p_top = (eta + 1.0) / (2.0 * eta + 1.0)
+    ps = np.linspace(p_bottom, p_top, Nc)
+    out = []
+    for p in ps:
+        pz = p * eta / (eta + 1.0)
+        px = p / (2.0 * (eta + 1.0))
+        out.append(betas_xyz(px, px, pz))
+    return np.stack(out)
+
+
+def beta_ladder_alpha(pz_tilde_bottom: float, alpha: float, Nc: int) -> np.ndarray:
+    """pz_tilde ladder bottom -> 1 (src/mcmc_alpha.py:94-98); the unified
+    betas are beta_z = -ln pz_tilde, beta_x = beta_y = -alpha ln pz_tilde."""
+    pzt = np.linspace(pz_tilde_bottom, 1.0, Nc)
+    bz = -np.log(np.maximum(pzt, 1e-30))
+    return np.stack([alpha * bz, alpha * bz, bz], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Ladder step
+# ---------------------------------------------------------------------------
+
+
+def init_ladder(spec: CodeSpec, init_states: jax.Array, Nc: int) -> LadderState:
+    """Replicate (B, nq) initial states across Nc rungs; the top rung starts
+    flagged (src/mcmc.py:72-79)."""
+    B = init_states.shape[0]
+    state = jnp.broadcast_to(init_states[:, None, :], (B, Nc, init_states.shape[-1]))
+    flag = jnp.zeros((B, Nc), dtype=jnp.int32).at[:, -1].set(1)
+    tops0 = jnp.zeros((B,), dtype=jnp.int32)
+    return LadderState(state=jnp.asarray(state, dtype=jnp.uint8), flag=flag, tops0=tops0)
+
+
+def make_ladder_step(
+    spec: CodeSpec,
+    betas: np.ndarray,  # (Nc, 3)
+    iters: int = 10,
+    p_logical: float = 0.5,
+):
+    """Build ``step(ls, key) -> (ls, bottom_eq, bottom_n_xyz)``.
+
+    One call = ``iters`` Metropolis proposals on every rung (top rung mixes
+    in logical proposals w.p. ``p_logical``, src/mcmc.py:20-35) followed by a
+    sequential top->bottom replica-exchange sweep with flag/tops0
+    bookkeeping (src/mcmc.py:94-103).
+    """
+    Nc = betas.shape[0]
+    update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
+    betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
+    p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
+
+    def step(ls: LadderState, key: jax.Array):
+        state, flag, tops0 = ls
+        B = state.shape[0]
+        k_sweep, k_swap = jax.random.split(key)
+
+        # 1) Metropolis on every rung (batched over B and Nc).
+        state = update(state, k_sweep, betas_j[None, :, :], p_log_vec[None, :])
+
+        # 2) Replica-exchange sweep, top -> bottom (unrolled; Nc is small).
+        n_xyz = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)
+        for j, i in enumerate(reversed(range(Nc - 1))):
+            ki = jax.random.fold_in(k_swap, j)
+            d_beta = betas_j[i + 1] - betas_j[i]  # (3,)
+            dn = n_xyz[:, i + 1] - n_xyz[:, i]  # (B, 3)
+            logr = jnp.sum(d_beta * dn, axis=-1)  # (B,)
+            u = jax.random.uniform(ki, (B,), minval=1e-38)
+            accept = jnp.log(u) < logr
+
+            def swap_rows(arr):
+                ai, aj = arr[:, i], arr[:, i + 1]
+                sel = accept.reshape((B,) + (1,) * (ai.ndim - 1))
+                arr = arr.at[:, i].set(jnp.where(sel, aj, ai))
+                return arr.at[:, i + 1].set(jnp.where(sel, ai, aj))
+
+            state = swap_rows(state)
+            flag = swap_rows(flag)
+            n_xyz = swap_rows(n_xyz)
+
+        # 3) Flag bookkeeping (src/mcmc.py:100-103).
+        flag = flag.at[:, -1].set(1)
+        hit = flag[:, 0] == 1
+        tops0 = tops0 + hit.astype(jnp.int32)
+        flag = flag.at[:, 0].set(jnp.where(hit, 0, flag[:, 0]))
+
+        bottom_eq = eq_class(spec, state[:, 0])  # (B,)
+        return LadderState(state, flag, tops0), bottom_eq, n_xyz[:, 0]
+
+    return step
