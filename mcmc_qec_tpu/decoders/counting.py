@@ -1,0 +1,164 @@
+"""On-device unique-chain counting and occupancy statistics.
+
+The reference's STDC/STRC/PTDC/PTRC decoders dedup visited chains through
+host-side python dicts keyed by ``hash(qubit_matrix.tobytes())``
+(decoders.py:251-254, 597-623, 768-781).  Here every chain visit is recorded
+on device as a 64-bit content key (two independent 32-bit universal hashes,
+ops/pauli.py:pack_key) plus per-Pauli counts; a post-pass lexsort marks
+first occurrences and segment-sums produce:
+
+- Z_DC       = sum over *unique* chains of exp(-beta_err . n_xyz)   (STDC)
+- m(n), N(n) = total / unique observations per length               (STRC/PTRC)
+- shortest-set statistics                                           (STRC)
+
+Droplet merging is free: all droplets of a class feed one stream, and
+dedup over the combined stream is exactly the reference's dict-union merge
+(decoders.py:313-314, 883-928).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import CodeSpec
+from ..ops.metropolis import make_chain_update
+from ..ops.pauli import count_errors_xyz, make_hash_mults, pack_key
+
+
+class SampleStream(NamedTuple):
+    """Recorded chain visits, leading axes (..., n_samples)."""
+
+    keys: jax.Array  # (..., N, 2) uint32
+    n_xyz: jax.Array  # (..., N, 3) int32
+
+
+def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5):
+    """Build ``sample(states, key, betas) -> (states, SampleStream)``.
+
+    Each of ``steps`` recording steps runs ``iters_per_step`` Metropolis
+    proposals then records the current chain (decoders.py:249-254: 5
+    proposals per recorded step).  ``states``: (..., nq); stream axes
+    (..., steps).
+    """
+    update = make_chain_update(spec, iters_per_step)
+    mults = jnp.asarray(make_hash_mults(spec))
+
+    def sample(states: jax.Array, key: jax.Array, betas: jax.Array):
+        def body(s, k):
+            s = update(s, k, betas)
+            keys_ = pack_key(spec, s, mults)  # (..., 2)
+            nxyz = count_errors_xyz(s)  # (..., 3)
+            return s, (keys_, nxyz)
+
+        ks = jax.random.split(key, steps)
+        states, (keys_, nxyz) = jax.lax.scan(body, states, ks)
+        # scan stacks on axis 0 -> move to second-to-last
+        keys_ = jnp.moveaxis(keys_, 0, -2)
+        nxyz = jnp.moveaxis(nxyz, 0, -2)
+        return states, SampleStream(keys_, nxyz)
+
+    return sample
+
+
+def first_occurrence(keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Sort a (N, 2) key stream lexicographically and mark first occurrences.
+
+    Returns (order, first_mask) where ``order`` sorts the stream and
+    ``first_mask[i]`` is True when sorted key i differs from key i-1.
+    """
+    order = jnp.lexsort((keys[:, 1], keys[:, 0]))
+    sk = keys[order]
+    prev = jnp.roll(sk, 1, axis=0)
+    diff = jnp.any(sk != prev, axis=-1)
+    first = diff.at[0].set(True)
+    return order, first
+
+
+def _weighted_length(n_xyz: jax.Array, betas: jax.Array) -> jax.Array:
+    """sum_i beta_i * n_i with 0 * inf := 0 (p_i = 0 handling,
+    decoders.py:406-417)."""
+    terms = jnp.where(n_xyz > 0, n_xyz.astype(jnp.float32) * betas, 0.0)
+    return jnp.sum(terms, axis=-1)
+
+
+def z_direct_count(
+    stream: SampleStream, betas_error: jax.Array, shortest_only: bool = False
+) -> jax.Array:
+    """log Z_E = logsumexp over unique chains of -beta_err . n_xyz.
+
+    Implements STDC's Boltzmann sum (decoders.py:317-318, 406-417); with
+    ``shortest_only`` only chains within ~1e-5 of the minimal weighted
+    length contribute (decoders.py:413-414).  Vectorized over leading axes.
+    Returns log Z (...,).
+    """
+
+    def one(keys, n_xyz):
+        order, first = first_occurrence(keys)
+        w = _weighted_length(n_xyz, betas_error)[order]  # (N,)
+        if shortest_only:
+            wmin = jnp.min(w)
+            first = first & jnp.isclose(w, wmin, rtol=1e-5, atol=1e-8)
+        neg = -w
+        m = jnp.max(jnp.where(first, neg, -jnp.inf))
+        s = jnp.sum(jnp.where(first, jnp.exp(neg - m), 0.0))
+        return m + jnp.log(s)
+
+    flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
+    flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
+    out = jax.vmap(one)(flat_keys, flat_nxyz)
+    return out.reshape(stream.keys.shape[:-2])
+
+
+class OccupancyStats(NamedTuple):
+    """Per-length occupancy of a stream (arrays indexed by total length n)."""
+
+    m_n: jax.Array  # (..., nq+1) total observations per length
+    N_n: jax.Array  # (..., nq+1) unique chains per length
+    shortest: jax.Array  # (...,) minimal observed length
+    next_shortest: jax.Array  # (...,) second-smallest observed length (or nq+1)
+
+
+def occupancy_stats(stream: SampleStream, nq: int) -> OccupancyStats:
+    """m(n), N(n) and shortest/next-shortest lengths (STRC/PTRC machinery,
+    decoders.py:597-623, 768-827)."""
+
+    def one(keys, n_xyz):
+        order, first = first_occurrence(keys)
+        n = jnp.sum(n_xyz, axis=-1)[order]  # (N,)
+        ones = jnp.ones_like(n)
+        m_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(ones)
+        N_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(first.astype(jnp.int32))
+        has = m_n[: nq + 1] > 0
+        idx = jnp.arange(nq + 1)
+        shortest = jnp.min(jnp.where(has, idx, nq + 1))
+        nxt = jnp.min(jnp.where(has & (idx > shortest), idx, nq + 1))
+        return m_n[: nq + 1], N_n[: nq + 1], shortest, nxt
+
+    flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
+    flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
+    m_n, N_n, sh, nx = jax.vmap(one)(flat_keys, flat_nxyz)
+    lead = stream.keys.shape[:-2]
+    return OccupancyStats(
+        m_n.reshape(lead + (nq + 1,)),
+        N_n.reshape(lead + (nq + 1,)),
+        sh.reshape(lead),
+        nx.reshape(lead),
+    )
+
+
+def unique_count_in_shortest(stream: SampleStream, nq: int) -> Tuple[jax.Array, jax.Array]:
+    """(#unique chains at the shortest length, #unique at next shortest)."""
+    stats = occupancy_stats(stream, nq)
+    lead = stats.shortest.shape
+    idx = stats.shortest.reshape(-1)
+    nxt = stats.next_shortest.reshape(-1)
+    N_flat = stats.N_n.reshape((-1, nq + 1))
+    n_short = N_flat[jnp.arange(len(idx)), jnp.clip(idx, 0, nq)]
+    n_next = jnp.where(
+        nxt <= nq, N_flat[jnp.arange(len(nxt)), jnp.clip(nxt, 0, nq)], 0
+    )
+    return n_short.reshape(lead), n_next.reshape(lead)

@@ -1,0 +1,249 @@
+"""PTEQ: parallel-tempering equivalence-class occupation decoding.
+
+TPU-native redesign of ``PTEQ``/``PTEQ_biased``/``PTEQ_alpha``
+(decoders.py:25-105, decoders_biasednoise.py:28-237): the ladder runs fully
+on device, batched over a syndrome axis; the host only sees windowed
+summaries (class-occupation counts, per-step bottom energies, tops0) and
+runs the convergence automaton at window granularity.
+
+Differences from the reference (statistically equivalent, documented):
+- convergence ("felkriteriet") is evaluated once per window of W ladder
+  steps instead of every step, so a run may take up to W-1 extra steps;
+- all syndromes in the batch run until every one of them converged (or the
+  step cap); each element's distribution is snapshotted at the end of the
+  window in which it converged;
+- RNG is explicit counter-based jax.random instead of unseeded global RNG.
+
+The returned distribution matches the reference's quantized uint8
+percentages (decoders.py:89).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import CodeSpec
+from ..mcmc.ladder import (
+    LadderState,
+    beta_ladder_alpha,
+    beta_ladder_biased,
+    beta_ladder_depolarizing,
+    init_ladder,
+    make_ladder_step,
+)
+from .convergence import error_based_accept
+
+
+@dataclasses.dataclass(frozen=True)
+class PTEQConfig:
+    """PT parameters; defaults follow decoders.py:25 / generate_data.py:290."""
+
+    Nc: Optional[int] = None  # ladder length; defaults to lattice size
+    SEQ: int = 2
+    TOPS: int = 10
+    tops_burn: int = 2
+    eps: float = 0.1
+    max_steps: int = 1_000_000
+    iters: int = 10
+    p_logical: float = 0.5
+    window: int = 100
+    conv_criteria: str = "error_based"
+
+
+@dataclasses.dataclass
+class PTEQResult:
+    distribution: np.ndarray  # (B, n_classes) uint8 percentages
+    converged: np.ndarray  # (B,) bool
+    steps: np.ndarray  # (B,) steps taken at snapshot
+    tops0: np.ndarray  # (B,)
+
+
+_WINDOW_CACHE = {}
+
+
+def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig):
+    key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
+           cfg.tops_burn)
+    if key in _WINDOW_CACHE:
+        return _WINDOW_CACHE[key]
+
+    ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical)
+    n_classes = spec.n_classes
+
+    def window(ls: LadderState, rkey, betas, eq_count, since_burn, weights):
+        """Run cfg.window ladder steps; accumulate post-burn class counts.
+
+        weights: (3,) energy weights for the felkriteriet trace — (1,1,1)
+        for depolarizing/biased (count_errors) or (alpha, alpha, 1) for
+        alpha noise (n_eff, decoders_biasednoise.py:128).
+        """
+
+        def body(carry, k):
+            ls, eq_count, since_burn = carry
+            ls, bottom_eq, n_xyz0 = ladder_step(ls, k, betas)
+            burned = (ls.tops0 >= cfg.tops_burn).astype(jnp.int32)  # (B,)
+            B = bottom_eq.shape[0]
+            eq_count = eq_count.at[jnp.arange(B), bottom_eq].add(burned)
+            since_burn = since_burn + burned
+            energy = jnp.sum(weights * n_xyz0, axis=-1)  # (B,)
+            return (ls, eq_count, since_burn), (energy, burned, ls.tops0)
+
+        keys = jax.random.split(rkey, cfg.window)
+        (ls, eq_count, since_burn), (energies, burned, tops_trace) = jax.lax.scan(
+            body, (ls, eq_count, since_burn), keys
+        )
+        return ls, eq_count, since_burn, energies, burned, tops_trace
+
+    fn = jax.jit(window, donate_argnums=(0,))
+    _WINDOW_CACHE[key] = fn
+    return fn
+
+
+def pteq_run(
+    spec: CodeSpec,
+    init_states: np.ndarray,  # (B, nq) uint8 — one syndrome seed per element
+    beta_ladder: np.ndarray,  # (Nc, 3)
+    cfg: PTEQConfig = PTEQConfig(),
+    energy_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    seed: int = 0,
+) -> PTEQResult:
+    """Generic PTEQ engine over an explicit beta ladder."""
+    B = init_states.shape[0]
+    Nc = beta_ladder.shape[0]
+    K = spec.n_classes
+    window_fn = _get_window_fn(spec, Nc, cfg)
+
+    ls = init_ladder(spec, jnp.asarray(init_states, dtype=jnp.uint8), Nc)
+    eq_count = jnp.zeros((B, K), dtype=jnp.int32)
+    since_burn = jnp.zeros((B,), dtype=jnp.int32)
+    betas_j = jnp.asarray(beta_ladder, dtype=jnp.float32)
+    weights = jnp.asarray(energy_weights, dtype=jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+
+    # Host-side convergence automaton state.
+    energy_chunks = []
+    burn_start = np.full(B, -1, dtype=np.int64)  # first post-burn step idx
+    conv_start = np.zeros(B, dtype=np.int64)  # tops0 at start of streak
+    in_streak = np.zeros(B, dtype=bool)
+    converged = np.zeros(B, dtype=bool)
+    snap_distr = np.zeros((B, K), dtype=np.float64)
+    snap_steps = np.zeros(B, dtype=np.int64)
+    snap_tops = np.zeros(B, dtype=np.int64)
+
+    steps_done = 0
+    n_windows = max(1, cfg.max_steps // cfg.window)
+    for w in range(n_windows):
+        key, k = jax.random.split(key)
+        ls, eq_count, since_burn, energies, burned, tops_trace = window_fn(
+            ls, k, betas_j, eq_count, since_burn, weights
+        )
+        energies = np.asarray(energies)  # (W, B)
+        burned_np = np.asarray(burned)  # (W, B)
+        tops_np = np.asarray(tops_trace)  # (W, B)
+        W = energies.shape[0]
+
+        # track first post-burn step (global index)
+        newly = (burn_start < 0) & burned_np.any(axis=0)
+        if newly.any():
+            first = np.argmax(burned_np[:, newly], axis=0)
+            burn_start[newly] = steps_done + first
+        steps_done += W
+        energy_chunks.append(energies)
+
+        if cfg.conv_criteria == "error_based":
+            trace = np.concatenate(energy_chunks, axis=0)  # (T, B)
+            cumsum = np.concatenate(
+                [np.zeros((1, B)), np.cumsum(trace, axis=0)], axis=0
+            )
+            sb = np.asarray(since_burn)
+            tops_now = tops_np[-1]
+            active = ~converged & (tops_now >= cfg.TOPS) & (burn_start >= 0)
+            if active.any():
+                accept = error_based_accept(
+                    cumsum, np.maximum(burn_start, 0), sb, cfg.eps
+                )
+                # streak bookkeeping (decoders.py:74-82) at window cadence
+                start_streak = accept & ~in_streak
+                conv_start[start_streak] = tops_now[start_streak]
+                in_streak = accept
+                done = active & accept & (tops_now - conv_start >= cfg.SEQ)
+                if done.any():
+                    ec = np.asarray(eq_count)
+                    idx = np.nonzero(done)[0]
+                    snap_distr[idx] = ec[idx] / (sb[idx, None] + 1)
+                    snap_steps[idx] = steps_done
+                    snap_tops[idx] = tops_now[idx]
+                    converged |= done
+            if converged.all():
+                break
+
+    # unconverged elements: snapshot at the end (with the reference's
+    # "hit max steps" warning semantics, decoders.py:84-87)
+    if not converged.all():
+        ec = np.asarray(eq_count)
+        sb = np.asarray(since_burn)
+        idx = np.nonzero(~converged)[0]
+        snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None] + 1, 1)
+        snap_steps[idx] = steps_done
+        snap_tops[idx] = np.asarray(ls.tops0)[idx]
+
+    distr = (snap_distr * 100).astype(np.uint8)
+    return PTEQResult(
+        distribution=distr,
+        converged=converged,
+        steps=snap_steps,
+        tops0=snap_tops,
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-facing decoders
+# ---------------------------------------------------------------------------
+
+
+def PTEQ(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p: float,
+    cfg: PTEQConfig = PTEQConfig(),
+    seed: int = 0,
+) -> PTEQResult:
+    """Depolarizing PTEQ (decoders.py:25-89), batched over syndromes."""
+    Nc = cfg.Nc or spec.size
+    ladder = beta_ladder_depolarizing(p, Nc)
+    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed)
+
+
+def PTEQ_biased(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p: float,
+    eta: float = 0.5,
+    cfg: PTEQConfig = PTEQConfig(),
+    seed: int = 0,
+) -> PTEQResult:
+    """Biased-noise PTEQ (decoders_biasednoise.py:28-75)."""
+    Nc = cfg.Nc or spec.size
+    ladder = beta_ladder_biased(p, eta, Nc)
+    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed)
+
+
+def PTEQ_alpha(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    pz_tilde: float,
+    alpha: float = 1.0,
+    cfg: PTEQConfig = PTEQConfig(),
+    seed: int = 0,
+) -> PTEQResult:
+    """Alpha-noise PTEQ on effective length n_eff = n_z + alpha (n_x + n_y)
+    (decoders_biasednoise.py:175-222)."""
+    Nc = cfg.Nc or spec.size
+    ladder = beta_ladder_alpha(pz_tilde, alpha, Nc)
+    return pteq_run(spec, init_states, ladder, cfg, (alpha, alpha, 1.0), seed)

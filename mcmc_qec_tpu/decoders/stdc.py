@@ -1,0 +1,203 @@
+"""STDC: single-temperature direct counting decoders.
+
+TPU-native redesign of STDC / STDC_general_noise / STDC_general_noise_shortest
+/ STDC_Nall_n_alpha (decoders.py:236-581): for every syndrome, all
+(class x droplet) chains run in one batched Metropolis kernel at the
+sampling temperature, visits are recorded as on-device content keys, and
+Z_E = sum over unique chains of exp(-beta_err . n_xyz) is computed with a
+lexsort + segment logsumexp — no host dicts, no process pools
+(decoders.py:301-314).
+
+All four reference variants collapse into one engine because both the
+sampling acceptance and the error-model weights are vector-beta forms:
+ - STDC:                    betas_sampling = betas_err = depolarizing
+ - STDC (p_sampling):       betas_sampling = depolarizing(p_sampling)
+ - STDC_general_noise:      vector betas (scalar p_sampling -> equal betas,
+                            matching the Chain vs Chain_xyz dispatch at
+                            decoders.py:351-354)
+ - STDC_Nall_n_alpha:       betas_sampling = alpha form; betas_err =
+                            (alpha*b, alpha*b, b), b = -ln pz_tilde
+                            (decoders.py:537-581)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import CodeSpec
+from ..mcmc.ladder import betas_depolarizing, betas_xyz
+from ..models.noise import xyz_probs_from_alpha
+from ..ops.pauli import all_class_states, apply_stabilizers_uniform
+from .counting import make_sampler, z_direct_count
+
+
+@functools.lru_cache(maxsize=None)
+def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
+                 shortest_only: bool):
+    sampler = make_sampler(spec, steps, iters_per_step=5)
+
+    def run(class_states, key, betas_sampling, betas_error):
+        # class_states: (B, K, nq)
+        B, K, nq = class_states.shape
+        states = jnp.broadcast_to(
+            class_states[:, :, None, :], (B, K, droplets, nq)
+        )
+        k_rain, k_samp = jax.random.split(key)
+        if randomize:
+            # start each droplet in an independent high-energy state ("rain",
+            # decoders.py:244-246)
+            states = apply_stabilizers_uniform(spec, states, k_rain, 0.5)
+        states, stream = sampler(states, k_samp, betas_sampling)
+        # merge droplets into one stream per (B, K): reshape so the sample
+        # axis spans droplets x steps
+        keys_ = stream.keys.reshape(B, K, droplets * steps, 2)
+        nxyz = stream.n_xyz.reshape(B, K, droplets * steps, 3)
+        from .counting import SampleStream
+
+        logz = z_direct_count(SampleStream(keys_, nxyz), betas_error,
+                              shortest_only=shortest_only)  # (B, K)
+        # normalized percentages via stable softmax (== Z/sum Z * 100,
+        # decoders.py:322)
+        distr = jax.nn.softmax(logz, axis=-1) * 100.0
+        return distr, logz
+
+    return jax.jit(run)
+
+
+def stdc_run(
+    spec: CodeSpec,
+    class_states: np.ndarray,  # (B, K, nq) per-class seeds
+    betas_sampling: np.ndarray,  # (3,)
+    betas_error: np.ndarray,  # (3,)
+    droplets: int = 10,
+    steps: int = 20000,
+    randomize: bool = True,
+    shortest_only: bool = False,
+    seed: int = 0,
+):
+    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only)
+    key = jax.random.PRNGKey(seed)
+    distr, logz = fn(
+        jnp.asarray(class_states, jnp.uint8),
+        key,
+        jnp.asarray(betas_sampling, jnp.float32),
+        jnp.asarray(betas_error, jnp.float32),
+    )
+    return np.asarray(distr), np.asarray(logz)
+
+
+def _class_seeds(spec: CodeSpec, init_states: np.ndarray) -> np.ndarray:
+    """(B, nq) -> (B, K, nq) one seed per equivalence class (the vectorized
+    to_class loop of decoders.py:285-288)."""
+    if init_states.ndim == 3:
+        return init_states  # already per-class (mwpm warm start)
+    js = jnp.asarray(init_states, jnp.uint8)
+    return np.asarray(jax.vmap(lambda s: all_class_states(spec, s))(js))
+
+
+def STDC(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p_error: float,
+    p_sampling: Optional[float] = None,
+    droplets: int = 10,
+    steps: int = 20000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
+    (random start; droplets are rained) or (B, K, nq) warm starts (no rain,
+    decoders.py:277-279).  Returns (B, K) float percentages."""
+    p_sampling = p_sampling or p_error
+    randomize = init_states.ndim == 2
+    seeds = _class_seeds(spec, init_states)
+    distr, _ = stdc_run(
+        spec,
+        seeds,
+        betas_depolarizing(p_sampling),
+        betas_depolarizing(p_error),
+        droplets,
+        steps,
+        randomize,
+        seed=seed,
+    )
+    return distr
+
+
+def STDC_general_noise(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p_xyz: np.ndarray,
+    p_sampling=None,
+    droplets: int = 10,
+    steps: int = 20000,
+    shortest_only: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """General-noise STDC (decoders.py:345-432).  ``p_sampling`` may be a
+    scalar (depolarizing sampling chain) or a length-3 array (xyz sampling
+    chain), matching the reference's Chain/Chain_xyz dispatch."""
+    if p_sampling is None:
+        p_sampling = float(np.sum(p_xyz))
+    if np.ndim(p_sampling) == 0:
+        bs = betas_depolarizing(float(p_sampling))
+    else:
+        bs = betas_xyz(*np.asarray(p_sampling))
+    # beta_err = -ln((p_i/3)/(1-p_i)) per reference (decoders.py:389)
+    p_xyz = np.asarray(p_xyz, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        be = -np.log((p_xyz / 3.0) / (1.0 - p_xyz))
+    be = np.where(np.isfinite(be), be, 1e30)
+    randomize = init_states.ndim == 2
+    seeds = _class_seeds(spec, init_states)
+    distr, _ = stdc_run(
+        spec, seeds, bs, be, droplets, steps, randomize, shortest_only, seed
+    )
+    return distr
+
+
+def STDC_general_noise_shortest(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p_xyz: np.ndarray,
+    p_sampling=None,
+    droplets: int = 10,
+    steps: int = 20000,
+    seed: int = 0,
+):
+    """Returns (full distribution, shortest-only distribution)
+    (decoders.py:435-508)."""
+    full = STDC_general_noise(
+        spec, init_states, p_xyz, p_sampling, droplets, steps, False, seed
+    )
+    short = STDC_general_noise(
+        spec, init_states, p_xyz, p_sampling, droplets, steps, True, seed
+    )
+    return full, short
+
+
+def STDC_Nall_n_alpha(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    pz_tilde_sampling: float,
+    alpha: float,
+    pz_tilde: float,
+    droplets: int = 1,
+    steps: int = 20000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Alpha-noise STDC on n_eff = n_z + alpha (n_x + n_y)
+    (decoders.py:510-581): sampling runs at the alpha acceptance for
+    pz_tilde_sampling, weights use beta = -ln(pz_tilde)."""
+    b_s = -np.log(pz_tilde_sampling)
+    bs = np.array([alpha * b_s, alpha * b_s, b_s])
+    b_e = -np.log(pz_tilde)
+    be = np.array([alpha * b_e, alpha * b_e, b_e])
+    randomize = init_states.ndim == 2
+    seeds = _class_seeds(spec, init_states)
+    distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, randomize, seed=seed)
+    return distr

@@ -97,23 +97,23 @@ def init_ladder(spec: CodeSpec, init_states: jax.Array, Nc: int) -> LadderState:
 
 def make_ladder_step(
     spec: CodeSpec,
-    betas: np.ndarray,  # (Nc, 3)
+    Nc: int,
     iters: int = 10,
     p_logical: float = 0.5,
 ):
-    """Build ``step(ls, key) -> (ls, bottom_eq, bottom_n_xyz)``.
+    """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz)``.
 
     One call = ``iters`` Metropolis proposals on every rung (top rung mixes
     in logical proposals w.p. ``p_logical``, src/mcmc.py:20-35) followed by a
     sequential top->bottom replica-exchange sweep with flag/tops0
-    bookkeeping (src/mcmc.py:94-103).
+    bookkeeping (src/mcmc.py:94-103).  ``betas`` is a traced (Nc, 3) array so
+    one compiled executable serves every error rate.
     """
-    Nc = betas.shape[0]
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
-    betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
 
-    def step(ls: LadderState, key: jax.Array):
+    def step(ls: LadderState, key: jax.Array, betas: jax.Array):
+        betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
         state, flag, tops0 = ls
         B = state.shape[0]
         k_sweep, k_swap = jax.random.split(key)

@@ -89,7 +89,9 @@ class LogicalDraw:
     op_lut: np.ndarray  # (4, 2) uint8
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so
+# specs can key lru_caches (family builders are themselves cached, so one
+# instance exists per (family, size))
 class CodeSpec:
     """Static description of a code family instance (one lattice size)."""
 

@@ -95,3 +95,20 @@ def orbit_states(spec, state0: np.ndarray) -> np.ndarray:
     for g in gens:
         orbit = np.concatenate([orbit, orbit ^ g], axis=0)
     return orbit
+
+
+def exact_class_posterior(spec, state0, betas, np_to_class):
+    """Exact per-class posterior by full orbit enumeration (small d only)."""
+    from scipy.special import logsumexp
+
+    logZ = []
+    for eq in range(spec.n_classes):
+        s = np_to_class(spec, state0, eq)
+        orb = orbit_states(spec, s)
+        nx = (orb == 1).sum(-1)
+        ny = (orb == 2).sum(-1)
+        nz = (orb == 3).sum(-1)
+        logZ.append(logsumexp(-(betas[0] * nx + betas[1] * ny + betas[2] * nz)))
+    logZ = np.array(logZ)
+    w = np.exp(logZ - logZ.max())
+    return w / w.sum()

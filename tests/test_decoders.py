@@ -1,0 +1,155 @@
+"""Decoder correctness against exact posteriors.
+
+At d=3 every sector orbit is exactly enumerable, so the true per-class
+posterior is known in closed form for every noise model (it's the
+Boltzmann sum with vector betas).  Every decoder estimate must agree within
+sampling tolerance — the strongest end-to-end check available without
+reference hardware (the reference itself relies on cross-decoder agreement,
+decoders.py:991-1006)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_qec_tpu.models import get_spec, np_eq_class, np_to_class
+from mcmc_qec_tpu.models.noise import sample_depolarizing, sample_xyz
+from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing, betas_xyz
+from mcmc_qec_tpu.decoders import (
+    PTDC,
+    PTEQ,
+    PTEQConfig,
+    PTEQ_alpha,
+    PTRC,
+    STDC,
+    STDC_Nall_n_alpha,
+    STDC_general_noise,
+    STRC,
+    single_temp,
+)
+
+from reference_oracles import exact_class_posterior
+
+
+def _syndrome_state(family, d, p=0.1, seed=5):
+    spec = get_spec(family, d)
+    s = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(seed), spec, p, (1,))
+    )[0]
+    return spec, s
+
+
+def tv(a, b):
+    return 0.5 * np.abs(np.asarray(a, float) - np.asarray(b, float)).sum()
+
+
+@pytest.mark.parametrize("family", ["toric", "planar", "rotated", "xzzx"])
+def test_stdc_matches_exact_posterior(family):
+    spec, s0 = _syndrome_state(family, 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=4000)
+    assert tv(exact, distr[0] / 100.0) < 0.03, (exact, distr[0])
+
+
+def test_stdc_batched_multiple_syndromes():
+    spec = get_spec("planar", 3)
+    B = 4
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(1), spec, 0.12, (B,))
+    )
+    distr = STDC(spec, states, 0.12, p_sampling=0.3, droplets=4, steps=4000)
+    for b in range(B):
+        exact = exact_class_posterior(
+            spec, states[b], betas_depolarizing(0.12), np_to_class
+        )
+        assert tv(exact, distr[b] / 100.0) < 0.03
+
+
+def test_stdc_general_noise_matches_exact():
+    spec, s0 = _syndrome_state("xzzx", 3, p=0.15, seed=7)
+    p_xyz = np.array([0.02, 0.01, 0.12])
+    # exact posterior with beta_i = -ln((p_i/3)/(1-p_i)) (decoders.py:389)
+    be = -np.log((p_xyz / 3.0) / (1.0 - p_xyz))
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    distr = STDC_general_noise(
+        spec, s0[None], p_xyz, p_sampling=np.array([0.1, 0.05, 0.2]),
+        droplets=4, steps=4000,
+    )
+    assert tv(exact, distr[0] / 100.0) < 0.04
+
+
+def test_stdc_alpha_matches_exact():
+    spec, s0 = _syndrome_state("xzzx", 3, p=0.1, seed=3)
+    alpha, pz_tilde = 2.0, 0.15
+    b = -np.log(pz_tilde)
+    be = np.array([alpha * b, alpha * b, b])
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    distr = STDC_Nall_n_alpha(
+        spec, s0[None], pz_tilde_sampling=0.3, alpha=alpha, pz_tilde=pz_tilde,
+        droplets=2, steps=6000,
+    )
+    assert tv(exact, distr[0] / 100.0) < 0.05
+
+
+def test_strc_matches_exact_posterior():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = STRC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=6000)
+    assert np.argmax(distr[0]) == np.argmax(exact)
+    assert tv(exact, distr[0] / 100.0) < 0.12
+
+
+def test_pteq_matches_exact_posterior():
+    spec, s0 = _syndrome_state("toric", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    # decode 8 replicas, average — tightens per-replica MC error
+    B = 8
+    res = PTEQ(
+        spec, np.tile(s0[None], (B, 1)), 0.1,
+        PTEQConfig(max_steps=10000, window=200, TOPS=30, SEQ=4),
+        seed=2,
+    )
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) in np.argsort(exact)[-2:]
+    # PTEQ's occupation estimate carries heavy autocorrelation (it is the
+    # reference's estimator, decoders.py:66-68) — tolerance reflects that
+    assert tv(exact, mean_distr) < 0.2
+
+
+def test_pteq_alpha_runs_and_is_sane():
+    spec, s0 = _syndrome_state("xzzx", 3, p=0.1, seed=3)
+    alpha, pz_tilde = 2.0, 0.15
+    b = -np.log(pz_tilde)
+    be = np.array([alpha * b, alpha * b, b])
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    B = 8
+    res = PTEQ_alpha(
+        spec, np.tile(s0[None], (B, 1)), pz_tilde, alpha,
+        PTEQConfig(max_steps=6000, window=200, TOPS=20, SEQ=4), seed=4,
+    )
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) == np.argmax(exact)
+
+
+def test_ptdc_matches_exact_posterior():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = PTDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=2, steps=8000)
+    assert np.argmax(distr[0]) == np.argmax(exact)
+    assert tv(exact, distr[0] / 100.0) < 0.05
+
+
+def test_ptrc_agrees_on_argmax():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = PTRC(spec, s0[None], 0.1, p_sampling=0.25, droplets=2, steps=8000)
+    assert np.argmax(distr[0]) == np.argmax(exact)
+
+
+def test_single_temp_prefers_true_class():
+    spec, s0 = _syndrome_state("planar", 3, p=0.08, seed=11)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.08), np_to_class)
+    means = single_temp(spec, s0[None], 0.08, max_iters=3000)
+    # decision is argmin of mean energy (generate_data.py:199-203)
+    assert np.argmin(means[0]) == np.argmax(exact)
