@@ -1,0 +1,68 @@
+"""Benchmark: Metropolis sweep throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric: effective stabilizer-proposal throughput of the colored
+sweep engine at toric d=5 over a large chain batch (1 sweep = n_stabs = 2d^2
+proposals, the accounting of BASELINE.md).  vs_baseline is measured against
+the reference's measured interpreted-Python floor of 178k proposals/s
+(BASELINE.md: src/mcmc.py:152 path, single CPU core).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+BASELINE_PROPOSALS_PER_S = 178_000.0  # BASELINE.md measured reference floor
+
+
+def bench_sweep(family="toric", d=5, batch=8192, sweeps_per_call=20, calls=10):
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
+    from mcmc_qec_tpu.ops import make_sweep_stepper
+
+    spec = get_spec(family, d)
+    sweep = make_sweep_stepper(spec)
+    betas = jnp.asarray(betas_depolarizing(0.1), jnp.float32)
+
+    @jax.jit
+    def run(states, key):
+        def body(s, k):
+            return sweep(s, k, betas), None
+
+        ks = jax.random.split(key, sweeps_per_call)
+        states, _ = jax.lax.scan(body, states, ks)
+        return states
+
+    key = jax.random.PRNGKey(0)
+    states = jnp.zeros((batch, spec.nq), jnp.uint8)
+    states = run(states, key)  # compile + warmup
+    states.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(calls):
+        states = run(states, jax.random.fold_in(key, i))
+    states.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    proposals = batch * spec.n_stabs * sweeps_per_call * calls
+    return proposals / dt, dt
+
+
+def main():
+    pps, dt = bench_sweep()
+    result = {
+        "metric": "metropolis_proposals_per_sec_toric_d5",
+        "value": round(pps, 1),
+        "unit": "proposals/s",
+        "vs_baseline": round(pps / BASELINE_PROPOSALS_PER_S, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ from .pauli import (
     eq_class,
     make_hash_mults,
     pack_key,
+    random_logical,
     syndrome,
     to_class,
 )

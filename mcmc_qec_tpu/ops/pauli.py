@@ -119,6 +119,23 @@ def apply_stabilizers_uniform(
     return state ^ comb.astype(jnp.uint8)
 
 
+def random_logical(spec: CodeSpec, state: jax.Array, key: jax.Array) -> jax.Array:
+    """Unconditionally apply a uniformly random logical to each state in the
+    batch (the randomized warm start of generate_data.py:130-133)."""
+    batch_shape = state.shape[:-1]
+    mask = jnp.zeros_like(state)
+    for i, drw in enumerate(spec.logical_draws):
+        ko, kx, kz = jax.random.split(jax.random.fold_in(key, i), 3)
+        op = jax.random.randint(ko, batch_shape, 0, 4)
+        xp = jax.random.randint(kx, batch_shape, 0, drw.x_masks.shape[0])
+        zp = jax.random.randint(kz, batch_shape, 0, drw.z_masks.shape[0])
+        do = jnp.asarray(drw.op_lut)[op]  # (..., 2)
+        xm = jnp.asarray(drw.x_masks)[xp] * do[..., 0:1]
+        zm = jnp.asarray(drw.z_masks)[zp] * do[..., 1:2]
+        mask = mask ^ xm ^ zm
+    return state ^ mask
+
+
 def pack_key(spec: CodeSpec, state: jax.Array, mults: np.ndarray) -> jax.Array:
     """64-bit content key of a chain as two independent 32-bit universal
     hashes (multiply-mod-2^32).  Replaces the host-side

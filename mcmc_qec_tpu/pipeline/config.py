@@ -1,0 +1,61 @@
+"""Canonical run configuration.
+
+The schema keys mirror the reference's ``params`` dicts exactly
+(generate_data.py:278-296, generate_data_noise_models.py:201-229,
+test_decoders.py:30-46) so reference-driven runs translate 1:1, plus
+TPU-native additions (batch, seed, window, devices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # --- reference keys (generate_data.py:278-296) ---
+    code: str = "toric"  # toric | planar | rotated | xzzx
+    method: str = "PTEQ"  # PTEQ | PTEQ_alpha | PTEQ_biased | PTDC | PTRC |
+    #                       STDC | STDC_N_n | ST | STRC | eMWPM | MWPM
+    size: int = 5
+    noise: str = "depolarizing"  # depolarizing | uncorrelated | biased | alpha
+    p_error: float = 0.1
+    eta: float = 0.5
+    alpha: float = 1.0
+    p_sampling: Optional[float] = None
+    droplets: int = 4
+    mwpm_init: bool = False
+    fixed_errors: Optional[int] = None
+    Nc: Optional[int] = None
+    iters: int = 10
+    conv_criteria: str = "error_based"
+    SEQ: int = 2
+    TOPS: int = 10
+    eps: float = 0.1
+    steps: Optional[int] = None  # defaults to 5 * size**5 (generate_data.py:296)
+
+    # --- TPU-native additions ---
+    batch: int = 64  # syndromes decoded per device step
+    seed: int = 0
+    max_steps: int = 200_000  # PTEQ step cap per batch
+    window: int = 200  # PTEQ device window
+    checkpoint_every: int = 50  # datapoints between checkpoints
+    #                             (generate_data.py:251)
+
+    def __post_init__(self):
+        if self.steps is None:
+            self.steps = int(5 * self.size**5)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "RunConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

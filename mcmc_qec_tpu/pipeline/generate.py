@@ -1,0 +1,218 @@
+"""Batch data-generation driver.
+
+TPU-native redesign of generate_data.py:20-269 and
+generate_data_noise_models.py:17-195: instead of one syndrome per process,
+whole batches of syndromes are sampled, warm-started and decoded per device
+step, with periodic checkpointing and ``fixed_errors`` early stop.
+
+Method dispatch mirrors the reference drivers (generate_data.py:136-227,
+generate_data_noise_models.py:59-153), including the noise-model parameter
+conversions (biased -> alpha for PTEQ, generate_data.py:147-150;
+depolarizing -> uncorrelated p_xyz, generate_data_noise_models.py:203-209).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import get_spec, np_eq_class
+from ..models.base import CodeSpec
+from ..models.noise import (
+    alpha_tilde_from_p,
+    biased_alpha_equivalent,
+    sample_depolarizing,
+    sample_xyz,
+    xyz_probs_from_alpha,
+    xyz_probs_from_biased,
+)
+from ..decoders import (
+    PTDC,
+    PTEQ,
+    PTEQConfig,
+    PTEQ_alpha,
+    PTRC,
+    STDC,
+    STDC_Nall_n_alpha,
+    STDC_general_noise,
+    STRC,
+    single_temp,
+)
+from ..matching import class_sorted_mwpm, regular_mwpm
+from ..ops.pauli import random_logical
+from .config import RunConfig
+from .dataset import Dataset
+
+
+def sample_errors(spec: CodeSpec, cfg: RunConfig, key) -> np.ndarray:
+    """Batched error sampling per (code, noise) (generate_data.py:56-118)."""
+    noise = cfg.noise
+    if noise == "depolarizing":
+        return np.asarray(sample_depolarizing(key, spec, cfg.p_error, (cfg.batch,)))
+    if noise == "biased":
+        px, py, pz = xyz_probs_from_biased(cfg.p_error, cfg.eta)
+        return np.asarray(sample_xyz(key, spec, px, py, pz, (cfg.batch,)))
+    if noise == "alpha":
+        # p_error is pz_tilde in the alpha drivers (generate_data.py:67-74)
+        px, py, pz = xyz_probs_from_alpha(cfg.p_error, cfg.alpha)
+        return np.asarray(sample_xyz(key, spec, px, py, pz, (cfg.batch,)))
+    if noise == "uncorrelated":
+        # independent X/Z channels of strength p_u = 1 - sqrt(1-p)
+        # (generate_data_noise_models.py:203-209)
+        p_u = 1.0 - np.sqrt(1.0 - cfg.p_error)
+        p_xz = p_u * (1.0 - p_u)
+        p_y = p_u**2
+        return np.asarray(sample_xyz(key, spec, p_xz, p_y, p_xz, (cfg.batch,)))
+    raise ValueError(f"unknown noise {noise!r}")
+
+
+def uncorrelated_p_xyz(p_error: float) -> np.ndarray:
+    p_u = 1.0 - np.sqrt(1.0 - p_error)
+    return np.array([p_u * (1.0 - p_u), p_u**2, p_u * (1.0 - p_u)])
+
+
+def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
+                 seed: int) -> Tuple[np.ndarray, Callable]:
+    """Dispatch a batch to the configured decoder.
+
+    Returns (distributions (B, K), decision_fn) where decision_fn maps a
+    distribution row to the decoded class (argmax, or argmin for ST —
+    generate_data.py:199-203)."""
+    method, noise = cfg.method, cfg.noise
+    B = states.shape[0]
+
+    # warm start (generate_data.py:126-133)
+    if cfg.mwpm_init:
+        assert spec.family == "planar", "mwpm_init requires the planar code"
+        init = np.stack([class_sorted_mwpm(spec, s) for s in states])  # (B,4,nq)
+    else:
+        key = jax.random.PRNGKey(seed ^ 0x5EED)
+        init = np.asarray(random_logical(spec, jnp.asarray(states), key))
+
+    argmax = lambda d: int(np.argmax(d))
+    argmin = lambda d: int(np.argmin(d))
+
+    pteq_cfg = PTEQConfig(
+        Nc=cfg.Nc, SEQ=cfg.SEQ, TOPS=cfg.TOPS, eps=cfg.eps,
+        max_steps=cfg.max_steps, iters=cfg.iters, window=cfg.window,
+        conv_criteria=cfg.conv_criteria,
+    )
+
+    if method == "PTEQ":
+        if noise == "depolarizing":
+            res = PTEQ(spec, init, cfg.p_error, pteq_cfg, seed=seed)
+        elif noise == "biased":
+            pz_tilde, alpha = biased_alpha_equivalent(cfg.p_error, cfg.eta)
+            res = PTEQ_alpha(spec, init, pz_tilde, alpha, pteq_cfg, seed=seed)
+        elif noise == "alpha":
+            res = PTEQ_alpha(spec, init, cfg.p_error, cfg.alpha, pteq_cfg, seed=seed)
+        else:
+            raise ValueError(f"PTEQ does not support noise {noise!r}")
+        return res.distribution.astype(np.float32), argmax
+    if method == "PTDC":
+        d = PTDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                 cfg.Nc, cfg.steps, seed=seed)
+        return d.astype(np.float32), argmax
+    if method == "PTRC":
+        d = PTRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                 cfg.Nc, cfg.steps, seed=seed)
+        return d.astype(np.float32), argmax
+    if method == "STDC":
+        if noise in ("depolarizing",):
+            d = STDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                     cfg.steps, seed=seed)
+        elif noise == "uncorrelated":
+            d = STDC_general_noise(spec, init, uncorrelated_p_xyz(cfg.p_error),
+                                   cfg.p_sampling, cfg.droplets, cfg.steps,
+                                   seed=seed)
+        else:
+            raise ValueError(f"STDC does not support noise {noise!r}")
+        return d.astype(np.float32), argmax
+    if method == "STDC_N_n":
+        assert noise == "alpha"
+        d = STDC_Nall_n_alpha(spec, init, cfg.p_sampling or 0.25, cfg.alpha,
+                              cfg.p_error, cfg.droplets, cfg.steps, seed=seed)
+        return d.astype(np.float32), argmax
+    if method == "ST":
+        d = single_temp(spec, init, cfg.p_error, cfg.steps, seed=seed)
+        return d.astype(np.float32), argmin
+    if method == "STRC":
+        d = STRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                 cfg.steps, seed=seed)
+        return d.astype(np.float32), argmax
+    if method == "eMWPM":
+        # shortest total-length class among class-constrained solutions
+        # (generate_data.py:210-220)
+        out = np.zeros((B, spec.n_classes), dtype=np.float32)
+        for b, s in enumerate(states):
+            seeds_b = class_sorted_mwpm(spec, s)
+            lens = (seeds_b != 0).sum(axis=-1)
+            out[b, int(np.argmin(lens))] = 100.0
+        return out, argmax
+    if method == "MWPM":
+        out = np.zeros((B, spec.n_classes), dtype=np.float32)
+        for b, s in enumerate(states):
+            out[b, regular_mwpm(spec, s)] = 100.0
+        return out, argmax
+    raise ValueError(f"unknown method {cfg.method!r}")
+
+
+def generate(
+    file_path: Optional[str],
+    cfg: RunConfig,
+    nbr_datapoints: int = 1000,
+    progress: Optional[Callable[[str], None]] = print,
+) -> Dataset:
+    """Generate and decode ``nbr_datapoints`` syndromes (in batches),
+    checkpointing to ``file_path`` and stopping early once
+    ``cfg.fixed_errors`` failures accumulate (generate_data.py:258-261)."""
+    spec = get_spec(cfg.code, cfg.size)
+    if cfg.fixed_errors is not None:
+        nbr_datapoints = 10_000_000  # run until enough failures
+    qms, distrs, trues = [], [], []
+    failed = 0
+    done = 0
+    t0 = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    batch_idx = 0
+    last_ckpt = 0
+    while done < nbr_datapoints:
+        n = min(cfg.batch, nbr_datapoints - done)
+        key, k_err = jax.random.split(key)
+        states = sample_errors(spec, cfg, k_err)[:n]
+        eq_true = np_eq_class(spec, states)
+        distr, decide = decode_batch(spec, cfg, states, cfg.seed + batch_idx)
+        decisions = np.array([decide(d) for d in distr])
+        failed += int((decisions != eq_true).sum())
+        qms.append(states.reshape((n,) + spec.state_shape))
+        distrs.append(distr)
+        trues.append(eq_true.astype(np.int32))
+        done += n
+        batch_idx += 1
+        if progress:
+            progress(
+                f"[generate] {done}/{nbr_datapoints} points, {failed} failed, "
+                f"{time.time()-t0:.1f}s"
+            )
+        if file_path and done - last_ckpt >= cfg.checkpoint_every:
+            _dataset(qms, distrs, trues, cfg).save(file_path)
+            last_ckpt = done
+        if cfg.fixed_errors is not None and failed >= cfg.fixed_errors:
+            break
+    ds = _dataset(qms, distrs, trues, cfg)
+    if file_path:
+        ds.save(file_path)
+    return ds
+
+
+def _dataset(qms, distrs, trues, cfg) -> Dataset:
+    return Dataset(
+        qubit_matrices=np.concatenate(qms) if qms else np.zeros((0,)),
+        distributions=np.concatenate(distrs) if distrs else np.zeros((0, 0)),
+        true_classes=np.concatenate(trues) if trues else np.zeros((0,), np.int32),
+        config=cfg,
+    )

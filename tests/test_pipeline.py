@@ -1,0 +1,114 @@
+"""Pipeline: generation driver, dataset round-trip, evaluation, golden
+corpus reader, plotting."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mcmc_qec_tpu.models import get_spec, np_eq_class
+from mcmc_qec_tpu.pipeline import (
+    Dataset,
+    RunConfig,
+    concat_datasets,
+    evaluate_dataset,
+    generate,
+    load_golden_corpus,
+)
+from mcmc_qec_tpu.pipeline.plot import plot_state, plot_success_rates
+
+GOLDEN = "/root/reference/data/drl_failures_p_0.15.xz"
+
+
+def test_generate_stdc_planar(tmp_path):
+    cfg = RunConfig(
+        code="planar", method="STDC", size=3, noise="depolarizing",
+        p_error=0.08, p_sampling=0.25, droplets=2, steps=1500, batch=8,
+    )
+    ds = generate(str(tmp_path / "out.npz"), cfg, nbr_datapoints=8, progress=None)
+    assert len(ds) == 8
+    res = evaluate_dataset(ds)
+    # d=3 planar at p=0.08 with a correct decoder succeeds most of the time
+    assert res.success_rate >= 0.6, res
+    # round-trip
+    ds2 = Dataset.load(str(tmp_path / "out.npz"))
+    assert np.array_equal(ds2.qubit_matrices, ds.qubit_matrices)
+    assert ds2.config.method == "STDC"
+
+
+def test_generate_mwpm_and_emwpm(tmp_path):
+    for method in ("MWPM", "eMWPM"):
+        cfg = RunConfig(
+            code="planar", method=method, size=5, noise="depolarizing",
+            p_error=0.05, batch=10,
+        )
+        ds = generate(None, cfg, nbr_datapoints=10, progress=None)
+        res = evaluate_dataset(ds)
+        assert res.success_rate >= 0.6, (method, res)
+
+
+def test_generate_st_uses_argmin():
+    cfg = RunConfig(
+        code="planar", method="ST", size=3, noise="depolarizing",
+        p_error=0.06, steps=1500, batch=6,
+    )
+    ds = generate(None, cfg, nbr_datapoints=6, progress=None)
+    res = evaluate_dataset(ds, decision="argmin")
+    assert res.n_points == 6
+
+
+def test_generate_biased_xzzx():
+    cfg = RunConfig(
+        code="xzzx", method="STDC", size=3, noise="depolarizing",
+        p_error=0.08, p_sampling=0.2, droplets=2, steps=1000, batch=4,
+    )
+    ds = generate(None, cfg, nbr_datapoints=4, progress=None)
+    assert ds.distributions.shape == (4, 4)
+
+
+def test_concat():
+    cfg = RunConfig(code="planar", method="STDC", size=3, steps=500,
+                    droplets=1, batch=2, p_error=0.05, p_sampling=0.2)
+    a = generate(None, cfg, 2, progress=None)
+    b = generate(None, cfg, 2, progress=None)
+    c = concat_datasets([a, b])
+    assert len(c) == 4
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden corpus absent")
+def test_golden_corpus_loads():
+    spec, flat, trues = load_golden_corpus(GOLDEN)
+    assert flat.shape == (2603, 50)
+    assert trues.shape == (2603,)
+    assert set(np.unique(trues)) <= set(range(16))
+
+
+def test_plotting(tmp_path):
+    import jax
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+
+    for family, d in [("toric", 5), ("planar", 5), ("rotated", 5), ("xzzx", 5)]:
+        spec = get_spec(family, d)
+        s = np.asarray(sample_depolarizing(jax.random.PRNGKey(0), spec, 0.1, (1,)))[0]
+        plot_state(spec, s, str(tmp_path / f"{family}.png"))
+        assert (tmp_path / f"{family}.png").exists()
+    plot_success_rates(
+        {"STDC": {0.05: 0.99, 0.1: 0.9}, "MWPM": {0.05: 0.97, 0.1: 0.8}},
+        str(tmp_path / "rates.png"),
+    )
+    assert (tmp_path / "rates.png").exists()
+
+
+def test_reference_dataframe_bridge(tmp_path):
+    pd = pytest.importorskip("pandas")
+    from mcmc_qec_tpu.pipeline import read_reference_dataset, to_reference_dataframe
+
+    cfg = RunConfig(code="planar", method="STDC", size=3, steps=500,
+                    droplets=1, batch=2, p_error=0.05, p_sampling=0.2)
+    ds = generate(None, cfg, 2, progress=None)
+    df = to_reference_dataframe(ds, params={"method": "STDC"})
+    path = str(tmp_path / "ref.xz")
+    df.to_pickle(path)
+    qms, distrs = read_reference_dataset(path)
+    assert len(qms) == 2
+    assert np.array_equal(qms[0], ds.qubit_matrices[0])
