@@ -1,4 +1,12 @@
-from .pteq import PTEQ, PTEQ_alpha, PTEQ_biased, PTEQConfig, PTEQResult, pteq_run
+from .pteq import (
+    PTEQ,
+    PTEQ_alpha,
+    PTEQ_alpha_with_shortest,
+    PTEQ_biased,
+    PTEQConfig,
+    PTEQResult,
+    pteq_run,
+)
 from .single_temp import single_temp
 from .stdc import (
     STDC,

@@ -18,7 +18,7 @@ dedup over the combined stream is exactly the reference's dict-union merge
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +78,44 @@ def first_occurrence(keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return order, first
 
 
+def chronological_first_occurrence(keys: jax.Array) -> jax.Array:
+    """First-occurrence mask in *time order* for a (N, 2) key stream: True at
+    index t iff keys[t] was never seen at an earlier index."""
+    n = keys.shape[0]
+    t = jnp.arange(n)
+    order = jnp.lexsort((t, keys[:, 1], keys[:, 0]))
+    sk = keys[order]
+    prev = jnp.roll(sk, 1, axis=0)
+    first_sorted = jnp.any(sk != prev, axis=-1).at[0].set(True)
+    return jnp.zeros(n, bool).at[order].set(first_sorted)
+
+
+def conv_mult_valid_mask(keys: jax.Array, n: jax.Array, conv_mult: float,
+                         steps: int) -> jax.Array:
+    """Per-step validity under the reference's shortest-chain extension rule
+    (decoders.py:249-263): every *new* chain with length <= the running
+    shortest extends the stop point to step * conv_mult; sampling ends at the
+    first step with step >= stop and step*100 >= steps.  Samples after the
+    break contribute nothing (equivalent in distribution to breaking)."""
+    first = chronological_first_occurrence(keys)
+    t = jnp.arange(n.shape[0])
+
+    def body(carry, inp):
+        shortest, stop, broken = carry
+        step, nt, ft = inp
+        is_new_short = ft & (nt <= shortest)
+        shortest = jnp.where(is_new_short, nt, shortest)
+        stop = jnp.where(is_new_short, step * conv_mult, stop)
+        valid = ~broken
+        broken = broken | ((step >= stop) & (step * 100 >= steps))
+        return (shortest, stop, broken), valid
+
+    init = (jnp.asarray(n.max() + 1, n.dtype), jnp.asarray(float(steps)),
+            jnp.asarray(False))
+    _, valid = jax.lax.scan(body, init, (t.astype(jnp.float32), n, first))
+    return valid
+
+
 def _weighted_length(n_xyz: jax.Array, betas: jax.Array) -> jax.Array:
     """sum_i beta_i * n_i with 0 * inf := 0 (p_i = 0 handling,
     decoders.py:406-417)."""
@@ -86,21 +124,31 @@ def _weighted_length(n_xyz: jax.Array, betas: jax.Array) -> jax.Array:
 
 
 def z_direct_count(
-    stream: SampleStream, betas_error: jax.Array, shortest_only: bool = False
+    stream: SampleStream,
+    betas_error: jax.Array,
+    shortest_only: bool = False,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """log Z_E = logsumexp over unique chains of -beta_err . n_xyz.
 
     Implements STDC's Boltzmann sum (decoders.py:317-318, 406-417); with
     ``shortest_only`` only chains within ~1e-5 of the minimal weighted
-    length contribute (decoders.py:413-414).  Vectorized over leading axes.
-    Returns log Z (...,).
+    length contribute (decoders.py:413-414).  ``valid`` (same leading shape
+    as the sample axis) restricts counting to un-masked samples (the
+    conv_mult early-stop rule).  Vectorized over leading axes; returns
+    log Z (...,).
     """
 
-    def one(keys, n_xyz):
-        order, first = first_occurrence(keys)
+    def one(keys, n_xyz, v):
+        # sort valid samples of each key first so the group representative
+        # is valid whenever any valid sample of that chain exists
+        order = jnp.lexsort(((~v).astype(jnp.int32), keys[:, 1], keys[:, 0]))
+        sk = keys[order]
+        prev = jnp.roll(sk, 1, axis=0)
+        first = jnp.any(sk != prev, axis=-1).at[0].set(True) & v[order]
         w = _weighted_length(n_xyz, betas_error)[order]  # (N,)
         if shortest_only:
-            wmin = jnp.min(w)
+            wmin = jnp.min(jnp.where(first, w, jnp.inf))
             first = first & jnp.isclose(w, wmin, rtol=1e-5, atol=1e-8)
         neg = -w
         m = jnp.max(jnp.where(first, neg, -jnp.inf))
@@ -109,7 +157,11 @@ def z_direct_count(
 
     flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
     flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
-    out = jax.vmap(one)(flat_keys, flat_nxyz)
+    if valid is None:
+        flat_valid = jnp.ones(flat_keys.shape[:2], bool)
+    else:
+        flat_valid = valid.reshape((-1, valid.shape[-1]))
+    out = jax.vmap(one)(flat_keys, flat_nxyz, flat_valid)
     return out.reshape(stream.keys.shape[:-2])
 
 
@@ -122,15 +174,19 @@ class OccupancyStats(NamedTuple):
     next_shortest: jax.Array  # (...,) second-smallest observed length (or nq+1)
 
 
-def occupancy_stats(stream: SampleStream, nq: int) -> OccupancyStats:
+def occupancy_stats(stream: SampleStream, nq: int,
+                    valid: Optional[jax.Array] = None) -> OccupancyStats:
     """m(n), N(n) and shortest/next-shortest lengths (STRC/PTRC machinery,
     decoders.py:597-623, 768-827)."""
 
-    def one(keys, n_xyz):
-        order, first = first_occurrence(keys)
+    def one(keys, n_xyz, v):
+        order = jnp.lexsort(((~v).astype(jnp.int32), keys[:, 1], keys[:, 0]))
+        sk = keys[order]
+        prev = jnp.roll(sk, 1, axis=0)
+        first = jnp.any(sk != prev, axis=-1).at[0].set(True) & v[order]
+        vs = v[order].astype(jnp.int32)
         n = jnp.sum(n_xyz, axis=-1)[order]  # (N,)
-        ones = jnp.ones_like(n)
-        m_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(ones)
+        m_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(vs)
         N_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(first.astype(jnp.int32))
         has = m_n[: nq + 1] > 0
         idx = jnp.arange(nq + 1)
@@ -140,7 +196,11 @@ def occupancy_stats(stream: SampleStream, nq: int) -> OccupancyStats:
 
     flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
     flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
-    m_n, N_n, sh, nx = jax.vmap(one)(flat_keys, flat_nxyz)
+    if valid is None:
+        flat_valid = jnp.ones(flat_keys.shape[:2], bool)
+    else:
+        flat_valid = valid.reshape((-1, valid.shape[-1]))
+    m_n, N_n, sh, nx = jax.vmap(one)(flat_keys, flat_nxyz, flat_valid)
     lead = stream.keys.shape[:-2]
     return OccupancyStats(
         m_n.reshape(lead + (nq + 1,)),

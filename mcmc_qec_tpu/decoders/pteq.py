@@ -61,19 +61,27 @@ class PTEQResult:
     converged: np.ndarray  # (B,) bool
     steps: np.ndarray  # (B,) steps taken at snapshot
     tops0: np.ndarray  # (B,)
+    # with track_shortest (PTEQ_alpha_with_shortest,
+    # decoders_biasednoise.py:163-172):
+    shortest_boltzmann: Optional[np.ndarray] = None  # (B, K) percentages
+    shortest_counts: Optional[np.ndarray] = None  # (B, K) percentages
 
 
 _WINDOW_CACHE = {}
 
 
-def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig):
+def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
+                   track_shortest: bool = False):
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn)
+           cfg.tops_burn, track_shortest)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
     ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical)
-    n_classes = spec.n_classes
+    if track_shortest:
+        from ..ops.pauli import make_hash_mults, pack_key
+
+        mults = jnp.asarray(make_hash_mults(spec))
 
     def window(ls: LadderState, rkey, betas, eq_count, since_burn, weights):
         """Run cfg.window ladder steps; accumulate post-burn class counts.
@@ -91,13 +99,16 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig):
             eq_count = eq_count.at[jnp.arange(B), bottom_eq].add(burned)
             since_burn = since_burn + burned
             energy = jnp.sum(weights * n_xyz0, axis=-1)  # (B,)
-            return (ls, eq_count, since_burn), (energy, burned, ls.tops0)
+            out = (energy, burned, ls.tops0)
+            if track_shortest:
+                out = out + (bottom_eq, pack_key(spec, ls.state[:, 0], mults))
+            return (ls, eq_count, since_burn), out
 
         keys = jax.random.split(rkey, cfg.window)
-        (ls, eq_count, since_burn), (energies, burned, tops_trace) = jax.lax.scan(
+        (ls, eq_count, since_burn), outs = jax.lax.scan(
             body, (ls, eq_count, since_burn), keys
         )
-        return ls, eq_count, since_burn, energies, burned, tops_trace
+        return (ls, eq_count, since_burn) + tuple(outs)
 
     fn = jax.jit(window, donate_argnums=(0,))
     _WINDOW_CACHE[key] = fn
@@ -111,12 +122,14 @@ def pteq_run(
     cfg: PTEQConfig = PTEQConfig(),
     energy_weights: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     seed: int = 0,
+    track_shortest: bool = False,
+    shortest_beta: float = 0.0,
 ) -> PTEQResult:
     """Generic PTEQ engine over an explicit beta ladder."""
     B = init_states.shape[0]
     Nc = beta_ladder.shape[0]
     K = spec.n_classes
-    window_fn = _get_window_fn(spec, Nc, cfg)
+    window_fn = _get_window_fn(spec, Nc, cfg, track_shortest)
 
     ls = init_ladder(spec, jnp.asarray(init_states, dtype=jnp.uint8), Nc)
     eq_count = jnp.zeros((B, K), dtype=jnp.int32)
@@ -136,17 +149,36 @@ def pteq_run(
     snap_steps = np.zeros(B, dtype=np.int64)
     snap_tops = np.zeros(B, dtype=np.int64)
 
+    # shortest-chain tracking (decoders_biasednoise.py:112-144)
+    sh_val = np.full((B, K), np.inf)
+    sh_count = np.zeros((B, K), dtype=np.int64)
+    sh_unique = [[set() for _ in range(K)] for _ in range(B)]
+
     steps_done = 0
     n_windows = max(1, cfg.max_steps // cfg.window)
     for w in range(n_windows):
         key, k = jax.random.split(key)
-        ls, eq_count, since_burn, energies, burned, tops_trace = window_fn(
-            ls, k, betas_j, eq_count, since_burn, weights
-        )
-        energies = np.asarray(energies)  # (W, B)
-        burned_np = np.asarray(burned)  # (W, B)
-        tops_np = np.asarray(tops_trace)  # (W, B)
+        out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
+        ls, eq_count, since_burn = out[:3]
+        energies = np.asarray(out[3])  # (W, B)
+        burned_np = np.asarray(out[4])  # (W, B)
+        tops_np = np.asarray(out[5])  # (W, B)
         W = energies.shape[0]
+        if track_shortest:
+            eq_trace = np.asarray(out[6])  # (W, B)
+            key_trace = np.asarray(out[7])  # (W, B, 2)
+            for t in range(W):
+                for b in np.nonzero(burned_np[t])[0]:
+                    e = energies[t, b]
+                    eq = int(eq_trace[t, b])
+                    kk = (int(key_trace[t, b, 0]), int(key_trace[t, b, 1]))
+                    if e < sh_val[b, eq]:
+                        sh_val[b, eq] = e
+                        sh_count[b, eq] = 1
+                        sh_unique[b][eq] = {kk}
+                    elif e == sh_val[b, eq]:
+                        sh_count[b, eq] += 1
+                        sh_unique[b][eq].add(kk)
 
         # track first post-burn step (global index)
         newly = (burn_start < 0) & burned_np.any(axis=0)
@@ -194,11 +226,30 @@ def pteq_run(
         snap_tops[idx] = np.asarray(ls.tops0)[idx]
 
     distr = (snap_distr * 100).astype(np.uint8)
+    sh_boltz = sh_counts = None
+    if track_shortest:
+        # Boltzmann over unique shortest chains: each unique chain at the
+        # class's shortest n_eff contributes exp(-beta * n_eff)
+        # (decoders_biasednoise.py:163-169)
+        n_unique = np.array(
+            [[len(sh_unique[b][k2]) for k2 in range(K)] for b in range(B)],
+            dtype=np.float64,
+        )
+        with np.errstate(invalid="ignore"):
+            logw = -shortest_beta * np.where(np.isfinite(sh_val), sh_val, np.inf)
+        w_ = n_unique * np.exp(logw - np.nanmax(np.where(np.isfinite(logw), logw, np.nan), axis=1, keepdims=True))
+        w_ = np.where(np.isfinite(w_), w_, 0.0)
+        tot = w_.sum(axis=1, keepdims=True)
+        sh_boltz = np.where(tot > 0, w_ / np.maximum(tot, 1e-300) * 100, 0.0)
+        ctot = sh_count.sum(axis=1, keepdims=True)
+        sh_counts = np.where(ctot > 0, sh_count / np.maximum(ctot, 1) * 100, 0.0)
     return PTEQResult(
         distribution=distr,
         converged=converged,
         steps=snap_steps,
         tops0=snap_tops,
+        shortest_boltzmann=sh_boltz,
+        shortest_counts=sh_counts,
     )
 
 
@@ -247,3 +298,23 @@ def PTEQ_alpha(
     Nc = cfg.Nc or spec.size
     ladder = beta_ladder_alpha(pz_tilde, alpha, Nc)
     return pteq_run(spec, init_states, ladder, cfg, (alpha, alpha, 1.0), seed)
+
+
+def PTEQ_alpha_with_shortest(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    pz_tilde: float,
+    alpha: float = 1.0,
+    cfg: PTEQConfig = PTEQConfig(),
+    seed: int = 0,
+) -> PTEQResult:
+    """Alpha PTEQ that additionally tracks the unique shortest-n_eff chains
+    per class (decoders_biasednoise.py:93-172).  The result's
+    ``shortest_boltzmann`` and ``shortest_counts`` carry the two extra
+    distributions the reference returns."""
+    Nc = cfg.Nc or spec.size
+    ladder = beta_ladder_alpha(pz_tilde, alpha, Nc)
+    return pteq_run(
+        spec, init_states, ladder, cfg, (alpha, alpha, 1.0), seed,
+        track_shortest=True, shortest_beta=float(-np.log(pz_tilde)),
+    )

@@ -38,7 +38,7 @@ from .counting import make_sampler, z_direct_count
 
 @functools.lru_cache(maxsize=None)
 def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
-                 shortest_only: bool):
+                 shortest_only: bool, conv_mult: float = 0.0):
     sampler = make_sampler(spec, steps, iters_per_step=5)
 
     def run(class_states, key, betas_sampling, betas_error):
@@ -53,14 +53,24 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
             # decoders.py:244-246)
             states = apply_stabilizers_uniform(spec, states, k_rain, 0.5)
         states, stream = sampler(states, k_samp, betas_sampling)
+        from .counting import SampleStream, conv_mult_valid_mask
+
+        valid = None
+        if conv_mult:
+            # per-droplet early-stop mask (decoders.py:249-263)
+            n_tot = jnp.sum(stream.n_xyz, axis=-1).astype(jnp.float32)
+            flat_k = stream.keys.reshape(-1, steps, 2)
+            flat_n = n_tot.reshape(-1, steps)
+            valid = jax.vmap(
+                lambda k_, n_: conv_mult_valid_mask(k_, n_, conv_mult, steps)
+            )(flat_k, flat_n).reshape(B, K, droplets * steps)
         # merge droplets into one stream per (B, K): reshape so the sample
         # axis spans droplets x steps
         keys_ = stream.keys.reshape(B, K, droplets * steps, 2)
         nxyz = stream.n_xyz.reshape(B, K, droplets * steps, 3)
-        from .counting import SampleStream
 
         logz = z_direct_count(SampleStream(keys_, nxyz), betas_error,
-                              shortest_only=shortest_only)  # (B, K)
+                              shortest_only=shortest_only, valid=valid)  # (B, K)
         # normalized percentages via stable softmax (== Z/sum Z * 100,
         # decoders.py:322)
         distr = jax.nn.softmax(logz, axis=-1) * 100.0
@@ -79,8 +89,9 @@ def stdc_run(
     randomize: bool = True,
     shortest_only: bool = False,
     seed: int = 0,
+    conv_mult: float = 0.0,
 ):
-    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only)
+    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only, conv_mult)
     key = jax.random.PRNGKey(seed)
     distr, logz = fn(
         jnp.asarray(class_states, jnp.uint8),
@@ -108,6 +119,7 @@ def STDC(
     droplets: int = 10,
     steps: int = 20000,
     seed: int = 0,
+    conv_mult: float = 0.0,
 ) -> np.ndarray:
     """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
     (random start; droplets are rained) or (B, K, nq) warm starts (no rain,
@@ -124,6 +136,7 @@ def STDC(
         steps,
         randomize,
         seed=seed,
+        conv_mult=conv_mult,
     )
     return distr
 

@@ -30,7 +30,8 @@ from .counting import SampleStream, make_sampler, occupancy_stats
 
 
 @functools.lru_cache(maxsize=None)
-def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool):
+def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
+                 conv_mult: float = 0.0):
     sampler = make_sampler(spec, steps, iters_per_step=5)
     nq = spec.nq
 
@@ -43,11 +44,20 @@ def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool):
         if randomize:
             states = apply_stabilizers_uniform(spec, states, k_rain, 0.5)
         _, stream = sampler(states, k_samp, betas_sampling)
+        valid = None
+        if conv_mult:
+            from .counting import conv_mult_valid_mask
+
+            n_tot = jnp.sum(stream.n_xyz, axis=-1).astype(jnp.float32)
+            valid = jax.vmap(
+                lambda k_, n_: conv_mult_valid_mask(k_, n_, conv_mult, steps)
+            )(stream.keys.reshape(-1, steps, 2), n_tot.reshape(-1, steps))
+            valid = valid.reshape(B, K, droplets * steps)
         stream = SampleStream(
             stream.keys.reshape(B, K, droplets * steps, 2),
             stream.n_xyz.reshape(B, K, droplets * steps, 3),
         )
-        st = occupancy_stats(stream, nq)  # arrays (B, K, nq+1)
+        st = occupancy_stats(stream, nq, valid=valid)  # arrays (B, K, nq+1)
 
         idx_k = jnp.arange(nq + 1, dtype=jnp.float32)
         l0 = st.shortest.astype(jnp.float32)  # (B, K)
@@ -95,6 +105,7 @@ def STRC(
     droplets: int = 10,
     steps: int = 20000,
     seed: int = 0,
+    conv_mult: float = 0.0,
 ) -> np.ndarray:
     """Returns (B, K) float percentages (decoders.py:835-949)."""
     p_sampling = p_sampling or p_error
@@ -106,7 +117,7 @@ def STRC(
         seeds = jnp.asarray(init_states, jnp.uint8)
     beta_e = float(betas_depolarizing(p_error)[0])
     beta_s = float(betas_depolarizing(p_sampling)[0])
-    fn = _get_strc_fn(spec, droplets, steps, randomize)
+    fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult)
     distr, _ = fn(
         seeds,
         jax.random.PRNGKey(seed),

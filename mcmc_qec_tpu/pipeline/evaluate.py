@@ -31,23 +31,33 @@ class EvalResult:
         )
 
 
-def evaluate_dataset(ds: Dataset, decision: str = "argmax") -> EvalResult:
+def evaluate_dataset(ds: Dataset, decision: Optional[str] = None) -> EvalResult:
     """Score stored distributions against recomputed true classes
-    (plot_uncorrelated.py:86-91)."""
+    (plot_uncorrelated.py:86-91).  The decision rule defaults to the stored
+    method's convention: argmin for ST (generate_data.py:199-203), the
+    middle/first block for concatenated multi-decoder rows, else argmax."""
     cfg = ds.config
+    spec = get_spec(cfg.code, cfg.size) if cfg else None
     if np.all(ds.true_classes >= 0):
         trues = ds.true_classes
     else:
-        spec = get_spec(cfg.code, cfg.size)
         trues = np_eq_class(spec, ds.qubit_matrices.reshape(len(ds), -1))
+    distr = ds.distributions
+    K = spec.n_classes if spec else distr.shape[-1]
+    method = cfg.method if cfg else "argmax"
+    if decision is None:
+        decision = "argmin" if method == "ST" else "argmax"
+    if method in ("all", "uncorrelated_comparison"):
+        distr = distr[:, K : 2 * K]
+    elif distr.shape[-1] > K:
+        distr = distr[:, :K]
     if decision == "argmax":
-        pred = np.argmax(ds.distributions, axis=-1)
+        pred = np.argmax(distr, axis=-1)
     else:
-        pred = np.argmin(ds.distributions, axis=-1)
+        pred = np.argmin(distr, axis=-1)
     fails = int((pred != trues).sum())
     n = len(ds)
-    k = ds.distributions.shape[-1]
-    per_class = np.bincount(trues, minlength=k)
+    per_class = np.bincount(trues, minlength=distr.shape[-1])
     return EvalResult(n, fails, 1.0 - fails / max(n, 1), per_class)
 
 

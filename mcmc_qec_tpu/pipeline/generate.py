@@ -35,6 +35,7 @@ from ..decoders import (
     PTEQ,
     PTEQConfig,
     PTEQ_alpha,
+    PTEQ_alpha_with_shortest,
     PTRC,
     STDC,
     STDC_Nall_n_alpha,
@@ -113,6 +114,45 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         else:
             raise ValueError(f"PTEQ does not support noise {noise!r}")
         return res.distribution.astype(np.float32), argmax
+    if method == "PTEQ_with_shortest":
+        # three concatenated distributions; failures scored on the first K
+        # (generate_data.py:167-173)
+        assert noise == "alpha"
+        res = PTEQ_alpha_with_shortest(
+            spec, init, cfg.p_error, cfg.alpha, pteq_cfg, seed=seed
+        )
+        distr = np.concatenate(
+            [
+                res.distribution.astype(np.float32),
+                res.shortest_boltzmann.astype(np.float32),
+                res.shortest_counts.astype(np.float32),
+            ],
+            axis=1,
+        )
+        return distr, lambda d: int(np.argmax(d[: spec.n_classes]))
+    if method == "all":
+        # ST + STDC + STRC concatenated (generate_data_noise_models.py:112-123)
+        d1 = single_temp(spec, init, cfg.p_error, cfg.steps, seed=seed)
+        d2 = STDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                  cfg.steps, seed=seed)
+        d3 = STRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
+                  cfg.steps, seed=seed)
+        distr = np.concatenate([d1, d2, d3], axis=1).astype(np.float32)
+        K = spec.n_classes
+        return distr, lambda d: int(np.argmax(d[K : 2 * K]))
+    if method == "uncorrelated_comparison":
+        # MWPM one-hot + STDC_general_noise; failures scored on the STDC
+        # part (generate_data_noise_models.py:141-153)
+        d1 = np.zeros((B, spec.n_classes), dtype=np.float32)
+        for b, s in enumerate(states):
+            d1[b, regular_mwpm(spec, s)] = 100.0
+        d2 = STDC_general_noise(
+            spec, init, uncorrelated_p_xyz(cfg.p_error), cfg.p_sampling,
+            cfg.droplets, cfg.steps, seed=seed,
+        ).astype(np.float32)
+        distr = np.concatenate([d1, d2], axis=1)
+        K = spec.n_classes
+        return distr, lambda d: int(np.argmax(d[K : 2 * K]))
     if method == "PTDC":
         d = PTDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
                  cfg.Nc, cfg.steps, seed=seed)

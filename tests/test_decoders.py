@@ -153,3 +153,31 @@ def test_single_temp_prefers_true_class():
     means = single_temp(spec, s0[None], 0.08, max_iters=3000)
     # decision is argmin of mean energy (generate_data.py:199-203)
     assert np.argmin(means[0]) == np.argmax(exact)
+
+
+def test_stdc_conv_mult_still_accurate():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=4000,
+                 conv_mult=2.0)
+    assert tv(exact, distr[0] / 100.0) < 0.05
+
+
+def test_pteq_alpha_with_shortest_returns_three_distributions():
+    from mcmc_qec_tpu.decoders import PTEQ_alpha_with_shortest
+
+    spec, s0 = _syndrome_state("xzzx", 3, p=0.1, seed=3)
+    res = PTEQ_alpha_with_shortest(
+        spec, s0[None], 0.15, 2.0,
+        PTEQConfig(max_steps=3000, window=200, TOPS=10, SEQ=2), seed=1,
+    )
+    assert res.shortest_boltzmann.shape == (1, 4)
+    assert res.shortest_counts.shape == (1, 4)
+    assert abs(res.shortest_boltzmann.sum() - 100) < 1.0
+    assert abs(res.shortest_counts.sum() - 100) < 1.0
+    # shortest-chain argmax should match the exact posterior argmax here
+    alpha, pz_tilde = 2.0, 0.15
+    b = -np.log(pz_tilde)
+    be = np.array([alpha * b, alpha * b, b])
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    assert np.argmax(res.shortest_boltzmann[0]) == np.argmax(exact)
