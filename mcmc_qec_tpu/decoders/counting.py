@@ -36,15 +36,38 @@ class SampleStream(NamedTuple):
     n_xyz: jax.Array  # (..., N, 3) int32
 
 
-def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5):
+def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
+                 engine: str = "literal"):
     """Build ``sample(states, key, betas) -> (states, SampleStream)``.
 
     Each of ``steps`` recording steps runs ``iters_per_step`` Metropolis
-    proposals then records the current chain (decoders.py:249-254: 5
+    updates then records the current chain (decoders.py:249-254: 5
     proposals per recorded step).  ``states``: (..., nq); stream axes
     (..., steps).
+
+    engine="literal": one update = one random-stabilizer proposal (the
+    reference's dynamics — but a long *sequential* dependency chain, so the
+    device is latency-bound).  engine="sweep": one update = one colored
+    sweep = n_stabs parallel proposals (the TPU-native path: ~n_stabs x
+    fewer sequential steps per recorded sample and dense vector math; same
+    stationary distribution, more decorrelated samples).
     """
-    update = make_chain_update(spec, iters_per_step)
+    if engine == "sweep":
+        from ..ops.metropolis import make_sweep_stepper
+
+        sweep = make_sweep_stepper(spec)
+
+        def update(states, key, betas, p_logical=0.0):
+            del p_logical
+            def body(s, k):
+                return sweep(s, k, betas), None
+
+            ks = jax.random.split(key, iters_per_step)
+            states, _ = jax.lax.scan(body, states, ks)
+            return states
+
+    else:
+        update = make_chain_update(spec, iters_per_step)
     mults = jnp.asarray(make_hash_mults(spec))
 
     def sample(states: jax.Array, key: jax.Array, betas: jax.Array):

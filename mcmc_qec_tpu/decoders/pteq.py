@@ -53,6 +53,7 @@ class PTEQConfig:
     p_logical: float = 0.5
     window: int = 100
     conv_criteria: str = "error_based"
+    engine: str = "literal"  # literal (reference cadence) | sweep (TPU-fast)
 
 
 @dataclasses.dataclass
@@ -73,11 +74,12 @@ _WINDOW_CACHE = {}
 def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    track_shortest: bool = False):
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn, track_shortest)
+           cfg.tops_burn, track_shortest, cfg.engine)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
-    ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical)
+    ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical,
+                                   engine=cfg.engine)
     if track_shortest:
         from ..ops.pauli import make_hash_mults, pack_key
 

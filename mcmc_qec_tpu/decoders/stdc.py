@@ -38,8 +38,10 @@ from .counting import make_sampler, z_direct_count
 
 @functools.lru_cache(maxsize=None)
 def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
-                 shortest_only: bool, conv_mult: float = 0.0):
-    sampler = make_sampler(spec, steps, iters_per_step=5)
+                 shortest_only: bool, conv_mult: float = 0.0,
+                 engine: str = "literal"):
+    iters = 5 if engine == "literal" else 1
+    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
 
     def run(class_states, key, betas_sampling, betas_error):
         # class_states: (B, K, nq)
@@ -90,8 +92,10 @@ def stdc_run(
     shortest_only: bool = False,
     seed: int = 0,
     conv_mult: float = 0.0,
+    engine: str = "literal",
 ):
-    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only, conv_mult)
+    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only,
+                      conv_mult, engine)
     key = jax.random.PRNGKey(seed)
     distr, logz = fn(
         jnp.asarray(class_states, jnp.uint8),
@@ -120,6 +124,7 @@ def STDC(
     steps: int = 20000,
     seed: int = 0,
     conv_mult: float = 0.0,
+    engine: str = "literal",
 ) -> np.ndarray:
     """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
     (random start; droplets are rained) or (B, K, nq) warm starts (no rain,
@@ -137,6 +142,7 @@ def STDC(
         randomize,
         seed=seed,
         conv_mult=conv_mult,
+        engine=engine,
     )
     return distr
 

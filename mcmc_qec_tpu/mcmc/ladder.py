@@ -100,17 +100,29 @@ def make_ladder_step(
     Nc: int,
     iters: int = 10,
     p_logical: float = 0.5,
+    engine: str = "literal",
 ):
     """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz)``.
 
-    One call = ``iters`` Metropolis proposals on every rung (top rung mixes
+    One call = ``iters`` Metropolis updates on every rung (top rung mixes
     in logical proposals w.p. ``p_logical``, src/mcmc.py:20-35) followed by a
     sequential top->bottom replica-exchange sweep with flag/tops0
     bookkeeping (src/mcmc.py:94-103).  ``betas`` is a traced (Nc, 3) array so
     one compiled executable serves every error rate.
+
+    engine="literal": one update = one random-stabilizer proposal (reference
+    cadence).  engine="sweep": one update = one colored sweep (n_stabs
+    parallel proposals) — far better device utilization; the top rung
+    additionally runs ``iters`` literal proposals with logical mixing so
+    class transitions keep the reference cadence.
     """
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
+    if engine == "sweep":
+        from ..ops.metropolis import make_sweep_stepper
+
+        sweep_fn = make_sweep_stepper(spec)
+        top_update = make_chain_update(spec, iters, include_logical=True)
 
     def step(ls: LadderState, key: jax.Array, betas: jax.Array):
         betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
@@ -119,7 +131,21 @@ def make_ladder_step(
         k_sweep, k_swap = jax.random.split(key)
 
         # 1) Metropolis on every rung (batched over B and Nc).
-        state = update(state, k_sweep, betas_j[None, :, :], p_log_vec[None, :])
+        if engine == "sweep":
+            def body(s, k):
+                return sweep_fn(s, k, betas_j[None, :, :]), None
+
+            ks = jax.random.split(k_sweep, iters)
+            state, _ = jax.lax.scan(body, state, ks)
+            k_top = jax.random.fold_in(k_sweep, 0x707)
+            top = top_update(
+                state[:, -1], k_top, betas_j[None, -1, :], p_logical
+            )
+            state = state.at[:, -1].set(top)
+        else:
+            state = update(
+                state, k_sweep, betas_j[None, :, :], p_log_vec[None, :]
+            )
 
         # 2) Replica-exchange sweep, top -> bottom (unrolled; Nc is small).
         n_xyz = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)

@@ -181,3 +181,26 @@ def test_pteq_alpha_with_shortest_returns_three_distributions():
     be = np.array([alpha * b, alpha * b, b])
     exact = exact_class_posterior(spec, s0, be, np_to_class)
     assert np.argmax(res.shortest_boltzmann[0]) == np.argmax(exact)
+
+
+def test_stdc_sweep_engine_matches_exact_posterior():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=1500,
+                 engine="sweep")
+    assert tv(exact, distr[0] / 100.0) < 0.03, (exact, distr[0])
+
+
+def test_pteq_sweep_engine_matches_exact_posterior():
+    spec, s0 = _syndrome_state("toric", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    B = 8
+    res = PTEQ(
+        spec, np.tile(s0[None], (B, 1)), 0.1,
+        PTEQConfig(max_steps=8000, window=200, TOPS=30, SEQ=4, iters=2,
+                   engine="sweep"),
+        seed=3,
+    )
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) in np.argsort(exact)[-2:]
+    assert tv(exact, mean_distr) < 0.2
