@@ -140,116 +140,34 @@ def make_chain_update(spec: CodeSpec, iters: int, include_logical: bool = False)
     ``p_logical``: broadcastable (...,).  Mirrors ``Chain.update_chain``
     (src/mcmc.py:19-46) over an arbitrary batch.
 
-    Fully batched (no vmap) with bulk RNG: one threefry draw per random
-    stream per call instead of per proposal per chain — the proposal scan
-    consumes pre-generated index/uniform tensors.
+    Implementation note: a fully-batched bulk-RNG formulation (one threefry
+    draw per stream, take/put_along_axis in the scan body) was tried and
+    compiled pathologically slowly on the remote TPU compiler; the
+    vmap-of-scan form below compiles fast and its per-proposal cost is
+    latency-dominated anyway (use engine="sweep" paths for throughput).
     """
-    qubits_np, ops_np = _extended_tables(spec)
-    stab_qubits = jnp.asarray(qubits_np)  # (S, deg)
-    stab_ops = jnp.asarray(ops_np)
-    n_stabs = spec.n_stabs
+    step = make_chain_stepper(spec, include_logical)
 
-    draws = spec.logical_draws
-    op_luts = [jnp.asarray(d.op_lut) for d in draws]
-    x_masks = [jnp.asarray(d.x_masks) for d in draws]
-    z_masks = [jnp.asarray(d.z_masks) for d in draws]
+    def one_chain(state, key, betas, p_logical):
+        keys = jax.random.split(key, iters)
+
+        def body(s, k):
+            return step(s, k, betas, p_logical), None
+
+        out, _ = jax.lax.scan(body, state, keys)
+        return out
 
     def update(states, key, betas, p_logical=0.0):
         batch_shape = states.shape[:-1]
-        betas_b = jnp.broadcast_to(betas, batch_shape + (3,)).astype(jnp.float32)
-        ks = jax.random.split(key, 3 + 3 * len(draws))
-        s_idx = jax.random.randint(ks[0], (iters,) + batch_shape, 0, n_stabs)
-        logu = jnp.log(
-            jax.random.uniform(ks[1], (iters,) + batch_shape, minval=1e-38)
-        )
-        if include_logical:
-            p_b = jnp.broadcast_to(p_logical, batch_shape)
-            use_logical = (
-                jax.random.uniform(ks[2], (iters,) + batch_shape) < p_b
-            )
-            log_ops = [
-                jax.random.randint(ks[3 + 3 * i], (iters,) + batch_shape, 0, 4)
-                for i in range(len(draws))
-            ]
-            log_xp = [
-                jax.random.randint(
-                    ks[4 + 3 * i], (iters,) + batch_shape, 0, x_masks[i].shape[0]
-                )
-                for i in range(len(draws))
-            ]
-            log_zp = [
-                jax.random.randint(
-                    ks[5 + 3 * i], (iters,) + batch_shape, 0, z_masks[i].shape[0]
-                )
-                for i in range(len(draws))
-            ]
-
-        ext = jnp.concatenate(
-            [states, jnp.zeros(batch_shape + (1,), dtype=states.dtype)], axis=-1
-        )
-
-        def stab_step(ext, s, lu):
-            qid = stab_qubits[s]  # (..., deg)
-            ops = stab_ops[s]
-            old = jnp.take_along_axis(ext, qid, axis=-1)
-            new = old ^ ops
-            dn = _dn_xyz(old, new).astype(jnp.float32)
-            logr = -jnp.sum(betas_b * dn, axis=-1)
-            accept = lu < logr
-            upd = jnp.where(accept[..., None], new, old)
-            return jnp.put_along_axis(ext, qid, upd, axis=-1, inplace=False)
-
-        if not include_logical:
-
-            def body(ext, inp):
-                s, lu = inp
-                return stab_step(ext, s, lu), None
-
-            ext, _ = jax.lax.scan(body, ext, (s_idx, logu))
-        else:
-
-            def logical_mask(t_ops, t_xp, t_zp):
-                mask = jnp.zeros(batch_shape + (spec.nq,), dtype=states.dtype)
-                for i in range(len(draws)):
-                    do = op_luts[i][t_ops[i]]  # (..., 2)
-                    xm = x_masks[i][t_xp[i]] * do[..., 0:1]
-                    zm = z_masks[i][t_zp[i]] * do[..., 1:2]
-                    mask = mask ^ xm ^ zm
-                return mask
-
-            def body(ext, inp):
-                s, lu, ul, t_ops, t_xp, t_zp = inp
-                # stabilizer branch
-                ext_stab = stab_step(ext, s, lu)
-                # logical branch (full-state delta, toric_model.py:228-253)
-                mask = logical_mask(t_ops, t_xp, t_zp)
-                cur = ext[..., :-1]
-                new = cur ^ mask
-                dn = _dn_xyz_planes(cur, new).astype(jnp.float32)
-                logr = -jnp.sum(betas_b * dn, axis=-1)
-                accept = ul & (lu < logr)
-                new_ext = jnp.concatenate(
-                    [new, jnp.zeros(batch_shape + (1,), dtype=states.dtype)],
-                    axis=-1,
-                )
-                sel = jnp.where(
-                    accept[..., None],
-                    new_ext,
-                    jnp.where(ul[..., None], ext, ext_stab),
-                )
-                return sel, None
-
-            inp = (s_idx, logu, use_logical, tuple(log_ops), tuple(log_xp),
-                   tuple(log_zp))
-            ext, _ = jax.lax.scan(body, ext, inp)
-        return ext[..., :-1]
+        flat = states.reshape((-1, states.shape[-1]))
+        n = flat.shape[0]
+        keys = jax.random.split(key, n)
+        betas_b = jnp.broadcast_to(betas, batch_shape + (3,)).reshape((-1, 3))
+        p_b = jnp.broadcast_to(p_logical, batch_shape).reshape((-1,))
+        out = jax.vmap(one_chain)(flat, keys, betas_b, p_b)
+        return out.reshape(states.shape)
 
     return update
-
-
-def _dn_xyz_planes(old: jax.Array, new: jax.Array) -> jax.Array:
-    """Per-Pauli count change over full states (reduction over nq)."""
-    return _dn_xyz(old, new)
 
 
 def make_sweep_stepper(spec: CodeSpec):
