@@ -53,9 +53,9 @@ def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
     stationary distribution, more decorrelated samples).
     """
     if engine == "sweep":
-        from ..ops.metropolis import make_sweep_stepper
+        from ..ops.dense_sweep import make_dense_sweep
 
-        sweep = make_sweep_stepper(spec)
+        sweep = make_dense_sweep(spec)
 
         def update(states, key, betas, p_logical=0.0):
             del p_logical

@@ -119,9 +119,9 @@ def make_ladder_step(
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
     if engine == "sweep":
-        from ..ops.metropolis import make_sweep_stepper
+        from ..ops.dense_sweep import make_dense_sweep
 
-        sweep_fn = make_sweep_stepper(spec)
+        sweep_fn = make_dense_sweep(spec)
         top_update = make_chain_update(spec, iters, include_logical=True)
 
     def step(ls: LadderState, key: jax.Array, betas: jax.Array):

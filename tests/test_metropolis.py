@@ -113,3 +113,33 @@ def test_engines_agree():
     e2 = empirical_length_distribution(l2, spec.nq)
     tv = 0.5 * np.abs(e1 - e2).sum()
     assert tv < 0.06, f"engines disagree, TV {tv:.3f}"
+
+
+@pytest.mark.parametrize("family,d", [("toric", 3), ("planar", 3), ("xzzx", 3)])
+def test_dense_sweep_stationary_distribution(family, d):
+    from mcmc_qec_tpu.ops.dense_sweep import make_dense_sweep
+
+    spec = get_spec(family, d)
+    rng = np.random.RandomState(4)
+    state0 = ((rng.randint(0, 4, spec.nq) * (rng.rand(spec.nq) < 0.2)).astype(np.uint8)
+              * spec.valid_mask)
+    betas = betas_xyz(0.05, 0.02, 0.1)
+    exact = exact_length_distribution(spec, state0, betas)
+    sweep = jax.jit(make_dense_sweep(spec))
+    states = jnp.broadcast_to(jnp.asarray(state0), (64, spec.nq))
+    key = jax.random.PRNGKey(7)
+    samples = []
+    for r in range(200):
+        key, k = jax.random.split(key)
+        states = sweep(states, k, jnp.asarray(betas, jnp.float32))
+        if r >= 70:
+            samples.append(np.asarray(count_errors(states)))
+    lengths = np.concatenate(samples)
+    emp = empirical_length_distribution(lengths, spec.nq)
+    tv = 0.5 * np.abs(exact - emp).sum()
+    assert tv < 0.06, f"TV distance {tv:.3f} too large"
+    final = np.asarray(states)
+    from mcmc_qec_tpu.models import np_syndrome
+    assert np.array_equal(
+        np_syndrome(spec, final), np.tile(np_syndrome(spec, state0), (len(final), 1))
+    )
