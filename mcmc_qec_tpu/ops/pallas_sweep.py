@@ -1,0 +1,153 @@
+"""Pallas TPU kernel for the dense bitplane sweep.
+
+Same math as ops/dense_sweep.py (gather-free colored Metropolis over
+symplectic bitplanes) but with the chain block resident in VMEM across
+``n_sweeps`` full sweeps, per-core PRNG (pltpu.prng_random_bits) instead of
+threefry tensors, and MXU matmuls for the per-color stabilizer contractions.
+Grid is over batch tiles; one kernel invocation performs
+
+    n_sweeps * n_stabs
+
+effective Metropolis proposals per chain with zero HBM traffic between
+colors or sweeps.  Stationarity is validated against exact enumeration in
+tests/test_pallas_sweep.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.base import CodeSpec
+from .dense_sweep import _color_tables
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_pallas_sweep(
+    spec: CodeSpec,
+    n_sweeps: int,
+    batch_tile: int = 256,
+    interpret: bool = False,
+):
+    """``fn(states (B, nq) uint8, seed int32, betas (3,) f32) -> states``.
+
+    B must be a multiple of ``batch_tile``.
+    """
+    tables = _color_tables(spec)
+    nq = spec.nq
+    nq_pad = _round_up(nq, 128)
+    n_colors = len(tables)
+    W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
+    sel_all = np.zeros((n_colors, W_pad, nq_pad), np.float32)
+    xop_all = np.zeros((n_colors, 1, nq_pad), np.float32)
+    zop_all = np.zeros((n_colors, 1, nq_pad), np.float32)
+    for c, (sel, xop, zop) in enumerate(tables):
+        sel_all[c, : sel.shape[0], :nq] = sel
+        xop_all[c, 0, :nq] = xop
+        zop_all[c, 0, :nq] = zop
+
+    def kernel(seed_ref, betas_ref, sel_ref, xop_ref, zop_ref, *rest):
+        if interpret:
+            # pltpu PRNG is unavailable in interpret mode: uniforms come in
+            # as a precomputed input tensor
+            logu_ref, state_ref, out_ref = rest
+        else:
+            state_ref, out_ref = rest
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        x = state_ref[:].astype(jnp.int32)  # (TB, nq_pad)
+        b0 = ((x & 1) ^ ((x >> 1) & 1)).astype(jnp.float32)  # X component
+        b1 = ((x >> 1) & 1).astype(jnp.float32)  # Z component
+        bx = betas_ref[0, 0]
+        by = betas_ref[0, 1]
+        bz = betas_ref[0, 2]
+
+        def fxor(a, m):  # XOR of 0/1 floats
+            return a + m - 2.0 * a * m
+
+        for t in range(n_sweeps):
+            for c in range(n_colors):
+                sel = sel_ref[c]  # (W_pad, nq_pad)
+                xop = xop_ref[c]  # (1, nq_pad)
+                zop = zop_ref[c]
+                nb0 = fxor(b0, xop)
+                nb1 = fxor(b1, zop)
+                d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
+                d2 = nb0 * nb1 - b0 * b1
+                d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
+                # (TB, nq_pad) @ (nq_pad, W_pad) on the MXU
+                dn1 = jnp.dot(d1, sel.T, preferred_element_type=jnp.float32)
+                dn2 = jnp.dot(d2, sel.T, preferred_element_type=jnp.float32)
+                dn3 = jnp.dot(d3, sel.T, preferred_element_type=jnp.float32)
+                logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_pad)
+                if interpret:
+                    logu = logu_ref[t, c]
+                else:
+                    bits = pltpu.prng_random_bits(logr.shape)
+                    u = (
+                        bits.astype(jnp.float32) * (1.0 / 4294967296.0)
+                        + 1e-12
+                    )
+                    logu = jnp.log(u)
+                accept = (logu < logr).astype(jnp.float32)
+                acc_q = jnp.dot(accept, sel, preferred_element_type=jnp.float32)
+                b0 = fxor(b0, xop * acc_q)
+                b1 = fxor(b1, zop * acc_q)
+
+        xi = b0.astype(jnp.int32)
+        zi = b1.astype(jnp.int32)
+        out_ref[:] = ((xi * 1) ^ (zi * 3)).astype(jnp.uint8)
+
+    @jax.jit
+    def fn(states: jax.Array, seed: jax.Array, betas: jax.Array) -> jax.Array:
+        B = states.shape[0]
+        assert B % batch_tile == 0, f"B={B} not a multiple of {batch_tile}"
+        padded = jnp.zeros((B, nq_pad), jnp.uint8).at[:, :nq].set(states)
+        seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        betas2 = jnp.asarray(betas, jnp.float32).reshape(1, 3)
+        extra_in_specs = []
+        extra_args = []
+        if interpret:
+            k = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+            logu = jnp.log(
+                jax.random.uniform(
+                    k, (n_sweeps, n_colors, batch_tile, W_pad), minval=1e-12
+                )
+            )
+            extra_in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            extra_args = [logu]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, nq_pad), jnp.uint8),
+            grid=(B // batch_tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                *extra_in_specs,
+                pl.BlockSpec(
+                    (batch_tile, nq_pad),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (batch_tile, nq_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(seed2, betas2, jnp.asarray(sel_all), jnp.asarray(xop_all),
+          jnp.asarray(zop_all), *extra_args, padded)
+        return out[:, :nq]
+
+    return fn

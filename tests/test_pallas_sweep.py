@@ -1,0 +1,40 @@
+"""Pallas dense-sweep kernel vs exact stationary distribution (interpret
+mode on CPU; the compiled path is exercised by bench.py on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_qec_tpu.models import get_spec, np_syndrome
+from mcmc_qec_tpu.mcmc.ladder import betas_xyz
+from mcmc_qec_tpu.ops import count_errors
+from mcmc_qec_tpu.ops.pallas_sweep import make_pallas_sweep
+
+from test_metropolis import empirical_length_distribution, exact_length_distribution
+
+
+@pytest.mark.parametrize("family,d", [("toric", 3), ("planar", 3)])
+def test_pallas_sweep_stationary(family, d):
+    spec = get_spec(family, d)
+    rng = np.random.RandomState(5)
+    state0 = ((rng.randint(0, 4, spec.nq) * (rng.rand(spec.nq) < 0.2)).astype(np.uint8)
+              * spec.valid_mask)
+    betas = betas_xyz(0.05, 0.02, 0.1)
+    exact = exact_length_distribution(spec, state0, betas)
+    fn = make_pallas_sweep(spec, n_sweeps=2, batch_tile=64, interpret=True)
+    states = jnp.broadcast_to(jnp.asarray(state0), (64, spec.nq))
+    samples = []
+    for r in range(120):
+        states = fn(states, r + 1, jnp.asarray(betas, jnp.float32))
+        if r >= 40:
+            samples.append(np.asarray(count_errors(states)))
+    lengths = np.concatenate(samples)
+    emp = empirical_length_distribution(lengths, spec.nq)
+    tv = 0.5 * np.abs(exact - emp).sum()
+    assert tv < 0.08, f"TV distance {tv:.3f} too large"
+    final = np.asarray(states)
+    assert np.array_equal(
+        np_syndrome(spec, final), np.tile(np_syndrome(spec, state0), (len(final), 1))
+    )
