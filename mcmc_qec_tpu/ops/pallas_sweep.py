@@ -63,7 +63,6 @@ def make_pallas_sweep(
             logu_ref, state_ref, out_ref = rest
         else:
             state_ref, out_ref = rest
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         x = state_ref[:].astype(jnp.int32)  # (TB, nq_pad)
         b0 = ((x & 1) ^ ((x >> 1) & 1)).astype(jnp.float32)  # X component
         b1 = ((x >> 1) & 1).astype(jnp.float32)  # Z component
@@ -74,7 +73,8 @@ def make_pallas_sweep(
         def fxor(a, m):  # XOR of 0/1 floats
             return a + m - 2.0 * a * m
 
-        for t in range(n_sweeps):
+        def one_sweep(t, planes):
+            b0, b1 = planes
             for c in range(n_colors):
                 sel = sel_ref[c]  # (W_pad, nq_pad)
                 xop = xop_ref[c]  # (1, nq_pad)
@@ -92,16 +92,37 @@ def make_pallas_sweep(
                 if interpret:
                     logu = logu_ref[t, c]
                 else:
-                    bits = pltpu.prng_random_bits(logr.shape)
-                    u = (
-                        bits.astype(jnp.float32) * (1.0 / 4294967296.0)
-                        + 1e-12
+                    # explicit per-(tile, sweep, color) seeding: a single
+                    # seed at kernel start gets hoisted/replayed by the
+                    # compiler inside fori_loop, yielding repeated bits
+                    # (verified empirically: stationarity breaks without
+                    # this)
+                    pltpu.prng_seed(
+                        (seed_ref[0, 0] * jnp.int32(40503)
+                         + pl.program_id(0))
+                        * jnp.int32(1000003)
+                        + t * n_colors
+                        + c
                     )
+                    bits = pltpu.prng_random_bits(logr.shape)
+                    # keep 24 high bits so the int->float conversion is
+                    # sign-safe regardless of how the backend treats uint32
+                    b24 = jax.lax.shift_right_logical(
+                        pltpu.bitcast(bits, jnp.int32), 8
+                    )
+                    u = b24.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-12
                     logu = jnp.log(u)
                 accept = (logu < logr).astype(jnp.float32)
                 acc_q = jnp.dot(accept, sel, preferred_element_type=jnp.float32)
                 b0 = fxor(b0, xop * acc_q)
                 b1 = fxor(b1, zop * acc_q)
+            return b0, b1
+
+        if interpret:
+            for t in range(n_sweeps):
+                b0, b1 = one_sweep(t, (b0, b1))
+        else:
+            b0, b1 = jax.lax.fori_loop(0, n_sweeps, one_sweep, (b0, b1))
 
         xi = b0.astype(jnp.int32)
         zi = b1.astype(jnp.int32)
