@@ -2,11 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Primary metric: effective stabilizer-proposal throughput of the colored
-sweep engine at toric d=5 over a large chain batch (1 sweep = n_stabs = 2d^2
-proposals, the accounting of BASELINE.md).  vs_baseline is measured against
-the reference's measured interpreted-Python floor of 178k proposals/s
-(BASELINE.md: src/mcmc.py:152 path, single CPU core).
+Primary metric: effective stabilizer-proposal throughput of the best sweep
+engine at toric d=5 (1 sweep = n_stabs = 2d^2 proposals, the accounting of
+BASELINE.md).  vs_baseline is against the reference's measured
+interpreted-Python floor of 178k proposals/s (BASELINE.md, src/mcmc.py:152
+path, single CPU core).
+
+Timing methodology: a host-side scalar reduction is forced before stopping
+the timer — on some remote backends ``block_until_ready`` on custom-call
+outputs returns before execution finishes.
 """
 
 import json
@@ -20,7 +24,12 @@ import numpy as np
 BASELINE_PROPOSALS_PER_S = 178_000.0  # BASELINE.md measured reference floor
 
 
-def bench_sweep(family="toric", d=5, batch=32768, sweeps_per_call=200, calls=3):
+def _force(x) -> int:
+    """Force full execution with a 1-scalar host fetch."""
+    return int(jnp.sum(x.astype(jnp.int32)))
+
+
+def bench_dense(family="toric", d=5, batch=32768, sweeps_per_call=200, calls=3):
     from mcmc_qec_tpu.models import get_spec
     from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
     from mcmc_qec_tpu.ops.dense_sweep import make_dense_sweep
@@ -39,18 +48,36 @@ def bench_sweep(family="toric", d=5, batch=32768, sweeps_per_call=200, calls=3):
         return states
 
     key = jax.random.PRNGKey(0)
-    states = jnp.zeros((batch, spec.nq), jnp.uint8)
-    states = run(states, key)  # compile + warmup
-    states.block_until_ready()
-
+    states = run(jnp.zeros((batch, spec.nq), jnp.uint8), key)
+    _force(states)
     best = 0.0
     for i in range(calls):
         t0 = time.perf_counter()
         states = run(states, jax.random.fold_in(key, i))
-        states.block_until_ready()
+        _force(states)
         dt = time.perf_counter() - t0
         best = max(best, batch * spec.n_stabs * sweeps_per_call / dt)
-    return best, dt
+    return best
+
+
+def bench_pallas(family="toric", d=5, batch=32768, sweeps_per_call=400, calls=3):
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
+    from mcmc_qec_tpu.ops.pallas_sweep import make_pallas_sweep
+
+    spec = get_spec(family, d)
+    fn = make_pallas_sweep(spec, n_sweeps=sweeps_per_call, batch_tile=512)
+    betas = jnp.asarray(betas_depolarizing(0.1), jnp.float32)
+    states = fn(jnp.zeros((batch, spec.nq), jnp.uint8), 1, betas)
+    _force(states)
+    best = 0.0
+    for i in range(calls):
+        t0 = time.perf_counter()
+        states = fn(states, i + 2, betas)
+        _force(states)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * spec.n_stabs * sweeps_per_call / dt)
+    return best
 
 
 def bench_stdc_decoder(d=5, B=32, steps=450, droplets=4):
@@ -67,6 +94,7 @@ def bench_stdc_decoder(d=5, B=32, steps=450, droplets=4):
     STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps,
          engine="sweep")  # compile
     best = 0.0
+    syn_rate = 0.0
     for rep in range(3):
         t0 = time.perf_counter()
         STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps,
@@ -74,21 +102,38 @@ def bench_stdc_decoder(d=5, B=32, steps=450, droplets=4):
         dt = time.perf_counter() - t0
         props = B * spec.n_classes * droplets * steps * spec.n_stabs
         best = max(best, props / dt)
-    return best
+        syn_rate = max(syn_rate, B / dt)
+    return best, syn_rate
 
 
 def main():
-    pps, dt = bench_sweep()
-    stdc_pps = bench_stdc_decoder()
+    # keep total runtime bounded: remote compiles can take minutes each, so
+    # optional extras are skipped once the time budget is spent
+    t_start = time.perf_counter()
+    budget = 900.0
+    dense = bench_dense()
+    extra = {"dense_xla_d5": round(dense, 1)}
+    value = dense
+    try:
+        if time.perf_counter() - t_start < budget * 0.5:
+            pallas = bench_pallas()
+            extra["pallas_d5"] = round(pallas, 1)
+            value = max(value, pallas)
+    except Exception as e:  # pragma: no cover - bench resilience
+        extra["pallas_d5_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.75:
+            stdc_pps, stdc_syn = bench_stdc_decoder()
+            extra["stdc_decoder_proposals_per_sec_d5"] = round(stdc_pps, 1)
+            extra["stdc_decoder_syndromes_per_sec_d5"] = round(stdc_syn, 1)
+    except Exception as e:  # pragma: no cover
+        extra["stdc_error"] = str(e)[:200]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
-        "value": round(pps, 1),
+        "value": round(value, 1),
         "unit": "proposals/s",
-        "vs_baseline": round(pps / BASELINE_PROPOSALS_PER_S, 2),
-        "extra": {
-            "stdc_decoder_proposals_per_sec_toric_d5": round(stdc_pps, 1),
-            "stdc_decoder_vs_baseline": round(stdc_pps / BASELINE_PROPOSALS_PER_S, 2),
-        },
+        "vs_baseline": round(value / BASELINE_PROPOSALS_PER_S, 2),
+        "extra": extra,
     }
     print(json.dumps(result))
 

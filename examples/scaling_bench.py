@@ -1,9 +1,12 @@
 """Chain-scaling efficiency across the device mesh (weak scaling).
 
 North-star target: >= 80% efficiency scaling the syndrome batch over
-devices.  On CPU this runs on the virtual 8-device mesh
-(tests/conftest.py env); on a real pod slice the same code measures ICI
-scaling.
+devices.  On CPU this runs on the virtual 8-device mesh — NOTE: the 8
+virtual devices share the machine's physical cores, so CPU "efficiency"
+is capped at n_physical_cores/n_devices and only validates that the
+sharded program runs and scales onto whatever silicon exists.  Real
+efficiency must be measured on a pod slice, where the same code exercises
+ICI.
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/scaling_bench.py          # CPU mesh
