@@ -10,8 +10,6 @@ cell exactly like the reference's array jobs — set ``--task-id`` from
 from __future__ import annotations
 
 import argparse
-import json
-import os
 import sys
 
 import numpy as np
@@ -85,7 +83,6 @@ def cmd_evaluate(args) -> int:
 
 def cmd_replay_golden(args) -> int:
     from .decoders import STDC
-    from .models import get_spec
     from .pipeline import replay_golden
 
     def decoder(spec, states):
@@ -98,7 +95,7 @@ def cmd_replay_golden(args) -> int:
 
 
 def cmd_plot(args) -> int:
-    from .pipeline import Dataset, success_rate_curve
+    from .pipeline import Dataset
     from .pipeline.plot import plot_success_rates
 
     curves = {}

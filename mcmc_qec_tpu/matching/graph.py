@@ -18,7 +18,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..models import get_spec, np_eq_class, np_syndrome
+from ..models import np_eq_class, np_syndrome
 from ..models.base import CodeSpec
 from ..models.planar import planar_defect_arrays
 from ..native import mwpm_solve

@@ -19,7 +19,6 @@ round-trip counter used for burn-in/convergence.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

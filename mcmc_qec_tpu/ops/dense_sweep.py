@@ -18,8 +18,6 @@ TPU design calls for (SURVEY 7.1 #2): dense VPU/MXU work, zero gathers.
 from __future__ import annotations
 
 import functools
-from typing import List
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ their local shards.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

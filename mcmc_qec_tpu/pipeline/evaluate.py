@@ -8,7 +8,7 @@ generate_data.py:314-321)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -91,6 +91,32 @@ def replay_golden(
     fails = int((pred != trues).sum())
     per_class = np.bincount(trues, minlength=spec.n_classes)
     return EvalResult(len(flat), fails, 1.0 - fails / len(flat), per_class)
+
+
+def evaluate_submethods(ds: Dataset) -> Dict[str, EvalResult]:
+    """Per-sub-decoder evaluation for concatenated-distribution datasets
+    (methods 'all' and 'uncorrelated_comparison'), the analog of
+    plot_uncorrelated.py's success_rates_extensive (98-146)."""
+    cfg = ds.config
+    spec = get_spec(cfg.code, cfg.size)
+    K = spec.n_classes
+    trues = ds.true_classes
+    if cfg.method == "all":
+        blocks = {"ST": (0, "argmin"), "STDC": (1, "argmax"), "STRC": (2, "argmax")}
+    elif cfg.method == "uncorrelated_comparison":
+        blocks = {"MWPM": (0, "argmax"), "STDC": (1, "argmax")}
+    else:
+        return {cfg.method: evaluate_dataset(ds)}
+    out = {}
+    for name, (i, decision) in blocks.items():
+        distr = ds.distributions[:, i * K : (i + 1) * K]
+        pred = (np.argmin if decision == "argmin" else np.argmax)(distr, axis=-1)
+        fails = int((pred != trues).sum())
+        out[name] = EvalResult(
+            len(ds), fails, 1.0 - fails / max(len(ds), 1),
+            np.bincount(trues, minlength=K),
+        )
+    return out
 
 
 def success_rate_curve(datasets: Sequence[Dataset]) -> Dict[float, float]:

@@ -23,7 +23,6 @@ import numpy as np
 from ..models import get_spec, np_eq_class
 from ..models.base import CodeSpec
 from ..models.noise import (
-    alpha_tilde_from_p,
     biased_alpha_equivalent,
     sample_depolarizing,
     sample_xyz,

@@ -8,7 +8,7 @@ unconditionally pops a window, rotated_surface_model.py:131)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import matplotlib
 

@@ -112,3 +112,15 @@ def test_reference_dataframe_bridge(tmp_path):
     qms, distrs = read_reference_dataset(path)
     assert len(qms) == 2
     assert np.array_equal(qms[0], ds.qubit_matrices[0])
+
+
+def test_evaluate_submethods():
+    from mcmc_qec_tpu.pipeline import evaluate_submethods
+
+    cfg = RunConfig(code="planar", method="all", size=3, p_error=0.08,
+                    p_sampling=0.25, droplets=2, steps=500, batch=3)
+    ds = generate(None, cfg, 3, progress=None)
+    res = evaluate_submethods(ds)
+    assert set(res) == {"ST", "STDC", "STRC"}
+    for r in res.values():
+        assert r.n_points == 3
