@@ -113,6 +113,47 @@ def read_reference_dataset(path: str):
     return np.stack(qms), distrs
 
 
+class MCMCDataReader:
+    """Sequential reader API matching the reference's MCMCDataReader
+    (src/mcmc.py:118-141): iterate (qubit_matrix, distribution) pairs from
+    either a native .npz Dataset or a reference-format pickled DataFrame."""
+
+    def __init__(self, file_path: str, size: Optional[int] = None):
+        self._file_path = file_path
+        self._size = size
+        if file_path.endswith(".npz"):
+            ds = Dataset.load(file_path)
+            self._qms = ds.qubit_matrices
+            self._extras = ds.distributions
+        else:
+            self._qms, self._extras = read_reference_dataset(file_path)
+        self._capacity = len(self._qms)
+        self._index = 0
+
+    def full(self) -> np.ndarray:
+        out = []
+        for i in range(self._capacity):
+            out.append(np.asarray(self._qms[i]).ravel())
+            if self._extras is not None:
+                out.append(np.asarray(self._extras[i]).ravel())
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def next(self):
+        qm = self._qms[self._index]
+        extra = self._extras[self._index] if self._extras is not None else None
+        self._index += 1
+        return qm, extra
+
+    def has_next(self) -> bool:
+        return self._index < self._capacity
+
+    def current_index(self) -> int:
+        return self._index
+
+    def get_capacity(self) -> int:
+        return self._capacity
+
+
 def to_reference_dataframe(ds: Dataset, params: Optional[dict] = None):
     """Write a Dataset as the reference's MultiIndex DataFrame layout so
     downstream reference tooling can read our outputs."""

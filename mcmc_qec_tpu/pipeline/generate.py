@@ -205,16 +205,32 @@ def generate(
     cfg: RunConfig,
     nbr_datapoints: int = 1000,
     progress: Optional[Callable[[str], None]] = print,
+    append: bool = False,
 ) -> Dataset:
     """Generate and decode ``nbr_datapoints`` syndromes (in batches),
     checkpointing to ``file_path`` and stopping early once
-    ``cfg.fixed_errors`` failures accumulate (generate_data.py:258-261)."""
+    ``cfg.fixed_errors`` failures accumulate (generate_data.py:258-261).
+
+    With ``append=True`` an existing dataset at ``file_path`` is extended up
+    to ``nbr_datapoints`` total (the noise-models driver's capacity-capped
+    resume, generate_data_noise_models.py:27-46)."""
+    import os
+
     spec = get_spec(cfg.code, cfg.size)
     if cfg.fixed_errors is not None:
         nbr_datapoints = 10_000_000  # run until enough failures
     qms, distrs, trues = [], [], []
     failed = 0
     done = 0
+    if append and file_path and os.path.exists(file_path):
+        prev = Dataset.load(file_path)
+        if len(prev):
+            qms.append(prev.qubit_matrices)
+            distrs.append(prev.distributions)
+            trues.append(prev.true_classes)
+            done = len(prev)
+            if done >= nbr_datapoints:
+                return prev
     t0 = time.time()
     key = jax.random.PRNGKey(cfg.seed)
     batch_idx = 0

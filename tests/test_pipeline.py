@@ -124,3 +124,34 @@ def test_evaluate_submethods():
     assert set(res) == {"ST", "STDC", "STRC"}
     for r in res.values():
         assert r.n_points == 3
+
+
+def test_mcmc_data_reader_and_append(tmp_path):
+    from mcmc_qec_tpu.pipeline import MCMCDataReader
+
+    cfg = RunConfig(code="planar", method="STDC", size=3, p_error=0.08,
+                    p_sampling=0.25, droplets=1, steps=400, batch=2)
+    path = str(tmp_path / "r.npz")
+    generate(path, cfg, 2, progress=None)
+    ds2 = generate(path, cfg, 5, progress=None, append=True)
+    assert len(ds2) == 5
+    reader = MCMCDataReader(path)
+    assert reader.get_capacity() == 5
+    n = 0
+    while reader.has_next():
+        qm, distr = reader.next()
+        assert qm.shape == (2, 3, 3)
+        assert distr.shape == (4,)
+        n += 1
+    assert n == 5
+    assert len(reader.full()) == 5 * (18 + 4)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden corpus absent")
+def test_mcmc_data_reader_reference_format():
+    from mcmc_qec_tpu.pipeline import MCMCDataReader
+
+    reader = MCMCDataReader(GOLDEN, size=5)
+    assert reader.get_capacity() == 2603
+    qm, chain = reader.next()
+    assert np.asarray(qm).shape == (2, 5, 5)
