@@ -66,7 +66,7 @@ def bench_pallas(family="toric", d=5, batch=32768, sweeps_per_call=400, calls=3)
     from mcmc_qec_tpu.ops.pallas_sweep import make_pallas_sweep
 
     spec = get_spec(family, d)
-    fn = make_pallas_sweep(spec, n_sweeps=sweeps_per_call, batch_tile=512)
+    fn, _ = make_pallas_sweep(spec, n_sweeps=sweeps_per_call, batch_tile=512)
     betas = jnp.asarray(betas_depolarizing(0.1), jnp.float32)
     states = fn(jnp.zeros((batch, spec.nq), jnp.uint8), 1, betas)
     _force(states)

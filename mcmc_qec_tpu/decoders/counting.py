@@ -66,6 +66,22 @@ def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
             states, _ = jax.lax.scan(body, states, ks)
             return states
 
+    elif engine == "pallas":
+        if jax.default_backend() != "tpu":
+            # compiled Pallas is TPU-only; same math via the dense engine
+            return make_sampler(spec, steps, iters_per_step, engine="sweep")
+        from ..ops.pallas_sweep import make_pallas_sweep
+
+        _, pallas_raw = make_pallas_sweep(spec, n_sweeps=iters_per_step)
+
+        def update(states, key, betas, p_logical=0.0):
+            del p_logical
+            batch_shape = states.shape[:-1]
+            flat = states.reshape(-1, states.shape[-1])
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            out = pallas_raw(flat, seed, betas)
+            return out.reshape(batch_shape + (states.shape[-1],))
+
     else:
         update = make_chain_update(spec, iters_per_step)
     mults = jnp.asarray(make_hash_mults(spec))

@@ -125,11 +125,12 @@ def make_pallas_sweep(
         zi = b1.astype(jnp.int32)
         out_ref[:] = ((xi * 1) ^ (zi * 3)).astype(jnp.uint8)
 
-    @jax.jit
-    def fn(states: jax.Array, seed: jax.Array, betas: jax.Array) -> jax.Array:
-        B = states.shape[0]
-        assert B % batch_tile == 0, f"B={B} not a multiple of {batch_tile}"
-        padded = jnp.zeros((B, nq_pad), jnp.uint8).at[:, :nq].set(states)
+    def raw(states: jax.Array, seed: jax.Array, betas: jax.Array) -> jax.Array:
+        """Traceable (non-jit) form for embedding in larger programs; the
+        batch axis is padded to a multiple of the tile automatically."""
+        B0 = states.shape[0]
+        B = _round_up(B0, batch_tile)
+        padded = jnp.zeros((B, nq_pad), jnp.uint8).at[:B0, :nq].set(states)
         seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
         betas2 = jnp.asarray(betas, jnp.float32).reshape(1, 3)
         extra_in_specs = []
@@ -166,6 +167,6 @@ def make_pallas_sweep(
             interpret=interpret,
         )(seed2, betas2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), *extra_args, padded)
-        return out[:, :nq]
+        return out[:B0, :nq]
 
-    return fn
+    return jax.jit(raw), raw

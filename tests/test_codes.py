@@ -195,3 +195,25 @@ def test_valid_mask_consistency(family, d):
                 assert spec.valid_mask[q] == 1
     for mask in spec.class_delta_masks:
         assert np.all(mask[spec.valid_mask == 0] == 0)
+
+
+@pytest.mark.parametrize("family,d", [("toric", 13), ("planar", 13),
+                                      ("rotated", 13), ("xzzx", 13),
+                                      ("toric", 19)])
+def test_large_d_specs_build_and_sweep(family, d):
+    """Scalability: spec construction and one sweep at production sizes."""
+    from mcmc_qec_tpu.ops import make_sweep_stepper
+    from mcmc_qec_tpu.ops.dense_sweep import make_dense_sweep
+    from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
+
+    spec = get_spec(family, d)
+    assert spec.color_stabs.shape[0] <= 16, "coloring should stay small"
+    flat = spec.color_stabs.reshape(-1)
+    assert sorted(flat[flat < spec.n_stabs].tolist()) == list(range(spec.n_stabs))
+    state = jnp.zeros((4, spec.nq), jnp.uint8)
+    betas = jnp.asarray(betas_depolarizing(0.1), jnp.float32)
+    out1 = make_sweep_stepper(spec)(state, jax.random.PRNGKey(0), betas)
+    out2 = make_dense_sweep(spec)(state, jax.random.PRNGKey(0), betas)
+    # sweeps from the all-zero state stay inside the trivial sector
+    assert np.all(np_syndrome(spec, np.asarray(out1)) == 0)
+    assert np.all(np_syndrome(spec, np.asarray(out2)) == 0)

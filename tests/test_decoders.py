@@ -204,3 +204,15 @@ def test_pteq_sweep_engine_matches_exact_posterior():
     mean_distr = res.distribution.mean(axis=0) / 100.0
     assert np.argmax(mean_distr) in np.argsort(exact)[-2:]
     assert tv(exact, mean_distr) < 0.2
+
+
+def test_stdc_pallas_engine_matches_exact_posterior():
+    spec, s0 = _syndrome_state("planar", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    # pallas engine runs in interpret mode on CPU via the raw path?  No —
+    # the sampler uses the compiled path; on CPU the pallas interpreter is
+    # engaged automatically only when interpret=True, so this test runs the
+    # kernel through pallas_call's CPU lowering.
+    distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=1500,
+                 engine="pallas")
+    assert tv(exact, distr[0] / 100.0) < 0.04, (exact, distr[0])

@@ -23,7 +23,7 @@ def test_pallas_sweep_stationary(family, d):
               * spec.valid_mask)
     betas = betas_xyz(0.05, 0.02, 0.1)
     exact = exact_length_distribution(spec, state0, betas)
-    fn = make_pallas_sweep(spec, n_sweeps=2, batch_tile=64, interpret=True)
+    fn, _ = make_pallas_sweep(spec, n_sweeps=2, batch_tile=64, interpret=True)
     states = jnp.broadcast_to(jnp.asarray(state0), (64, spec.nq))
     samples = []
     for r in range(120):
