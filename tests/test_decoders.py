@@ -216,3 +216,23 @@ def test_stdc_pallas_engine_matches_exact_posterior():
     distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=1500,
                  engine="pallas")
     assert tv(exact, distr[0] / 100.0) < 0.04, (exact, distr[0])
+
+
+def test_trivial_syndrome_decodes_to_identity_class():
+    """A zero-error state must decode to class 0 with high confidence."""
+    spec = get_spec("planar", 5)
+    s0 = np.zeros((1, spec.nq), dtype=np.uint8)
+    distr = STDC(spec, s0, 0.05, p_sampling=0.25, droplets=2, steps=2000)
+    assert np.argmax(distr[0]) == 0
+    assert distr[0, 0] > 60
+
+
+def test_stdc_handles_zero_probability_pauli():
+    """p_y = 0 must not produce NaNs (infinite beta handling,
+    decoders.py:385-389)."""
+    spec, s0 = _syndrome_state("planar", 3, p=0.08, seed=2)
+    p_xyz = np.array([0.05, 0.0, 0.05])
+    distr = STDC_general_noise(spec, s0[None], p_xyz,
+                               p_sampling=0.2, droplets=2, steps=1500)
+    assert np.all(np.isfinite(distr))
+    assert abs(distr.sum() - 100) < 1.0
