@@ -57,6 +57,10 @@ def cmd_generate(args) -> int:
         if args.sizes:
             sizes = [int(s) for s in args.sizes.split(",")]
             cfg.size = sizes[(args.task_id // args.p_points) % len(sizes)]
+            if args.steps is None:
+                # re-derive the default budget for the grid's size
+                # (generate_data.py:295 recomputes steps per size)
+                cfg.steps = int(5 * cfg.size**5)
     ds = generate(args.out, cfg, nbr_datapoints=args.n)
     print(f"wrote {len(ds)} points to {args.out}")
     return 0

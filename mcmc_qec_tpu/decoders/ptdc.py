@@ -23,7 +23,7 @@ from ..mcmc.ladder import (
     make_ladder_step,
 )
 from ..ops.pauli import all_class_states, count_errors_xyz, make_hash_mults, pack_key
-from .counting import SampleStream, first_occurrence, occupancy_stats, z_direct_count
+from .counting import SampleStream, occupancy_stats, z_direct_count
 
 
 @functools.lru_cache(maxsize=None)

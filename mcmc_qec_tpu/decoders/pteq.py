@@ -210,7 +210,10 @@ def pteq_run(
                 if done.any():
                     ec = np.asarray(eq_count)
                     idx = np.nonzero(done)[0]
-                    snap_distr[idx] = ec[idx] / (sb[idx, None] + 1)
+                    # our since_burn equals the number of post-burn samples
+                    # (the reference's denominator since_burn+1,
+                    # decoders.py:89)
+                    snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None], 1)
                     snap_steps[idx] = steps_done
                     snap_tops[idx] = tops_now[idx]
                     converged |= done
@@ -223,7 +226,7 @@ def pteq_run(
         ec = np.asarray(eq_count)
         sb = np.asarray(since_burn)
         idx = np.nonzero(~converged)[0]
-        snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None] + 1, 1)
+        snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None], 1)
         snap_steps[idx] = steps_done
         snap_tops[idx] = np.asarray(ls.tops0)[idx]
 

@@ -31,7 +31,6 @@ import numpy as np
 
 from ..models.base import CodeSpec
 from ..mcmc.ladder import betas_depolarizing, betas_xyz
-from ..models.noise import xyz_probs_from_alpha
 from ..ops.pauli import all_class_states, apply_stabilizers_uniform
 from .counting import make_sampler, z_direct_count
 
@@ -171,10 +170,11 @@ def STDC_general_noise(
     with np.errstate(divide="ignore"):
         be = -np.log((p_xyz / 3.0) / (1.0 - p_xyz))
     be = np.where(np.isfinite(be), be, 1e30)
-    randomize = init_states.ndim == 2
+    # the reference never rains the general-noise chains (decoders.py:365-376
+    # sets randomize=False in both init branches)
     seeds = _class_seeds(spec, init_states)
     distr, _ = stdc_run(
-        spec, seeds, bs, be, droplets, steps, randomize, shortest_only, seed
+        spec, seeds, bs, be, droplets, steps, False, shortest_only, seed
     )
     return distr
 
@@ -216,7 +216,7 @@ def STDC_Nall_n_alpha(
     bs = np.array([alpha * b_s, alpha * b_s, b_s])
     b_e = -np.log(pz_tilde)
     be = np.array([alpha * b_e, alpha * b_e, b_e])
-    randomize = init_states.ndim == 2
+    # no rain: STDC_droplet_alpha never randomizes (decoders.py:520-536)
     seeds = _class_seeds(spec, init_states)
-    distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, randomize, seed=seed)
+    distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, False, seed=seed)
     return distr

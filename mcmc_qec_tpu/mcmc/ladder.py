@@ -7,10 +7,14 @@ table, and one generalized swap rule
 
     log r = sum_i (beta_hi_i - beta_lo_i) * (n_hi_i - n_lo_i)
 
-reproduces all three reference variants exactly (depolarizing/biased have
-equal per-Pauli betas so the rule collapses to rel_p**(ne_hi - ne_lo),
-src/mcmc.py:86-92,144-149; alpha collapses to
-(pz_lo/pz_hi)**(n_eff_hi - n_eff_lo), src/mcmc_alpha.py:117-123).
+covers all three reference variants: for depolarizing (equal per-Pauli
+betas) it collapses exactly to rel_p**(ne_hi - ne_lo) (src/mcmc.py:86-92,
+144-149) and for alpha exactly to (pz_lo/pz_hi)**(n_eff_hi - n_eff_lo)
+(src/mcmc_alpha.py:117-123).  For biased noise the reference approximates
+the swap with the total-count depolarizing rule (src/mcmc_biased.py:105-112)
+even though its per-Pauli probabilities differ; our rule keeps the exact
+per-Pauli form, which is the detailed-balance-correct swap for that model
+(a deliberate fix, not bit-parity).
 
 The swap sweep is sequential top->bottom like the reference (mcmc.py:96-99)
 so a replica can fall the whole ladder in one step — this drives the tops0

@@ -90,9 +90,12 @@ def sample_depolarizing(
 
 def sample_n_random_errors(key: jax.Array, spec: CodeSpec, n: int) -> jax.Array:
     """Exactly n errors with uniform Pauli at random positions
-    (toric_model.py:26-32)."""
+    (toric_model.py:26-32); positions are drawn from *valid* cells only so
+    planar's unused cells never eat part of the budget."""
     kp, kv = jax.random.split(key)
-    perm = jax.random.permutation(kp, spec.nq)
+    valid_idx = jnp.asarray(np.flatnonzero(spec.valid_mask))
+    perm = jax.random.permutation(kp, valid_idx.shape[0])
+    chosen = valid_idx[perm[:n]]
     paulis = jax.random.randint(kv, (spec.nq,), 1, 4, dtype=jnp.int32).astype(jnp.uint8)
-    sel = jnp.zeros((spec.nq,), dtype=jnp.uint8).at[perm[:n]].set(1)
-    return sel * paulis * jnp.asarray(spec.valid_mask)
+    sel = jnp.zeros((spec.nq,), dtype=jnp.uint8).at[chosen].set(1)
+    return sel * paulis

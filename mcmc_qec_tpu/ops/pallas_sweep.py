@@ -87,7 +87,7 @@ def make_pallas_sweep(
                 dn3 = jnp.dot(d3, sel.T, preferred_element_type=jnp.float32)
                 logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_pad)
                 if interpret:
-                    logu = logu_ref[t, c]
+                    logu = logu_ref[0, t, c]
                 else:
                     # explicit per-(tile, sweep, color) seeding: a single
                     # seed at kernel start gets hoisted/replayed by the
@@ -137,12 +137,23 @@ def make_pallas_sweep(
         extra_args = []
         if interpret:
             k = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+            n_tiles = B // batch_tile
+            # a leading tile axis + index_map gives every grid tile its own
+            # uniforms (a shared tensor would correlate tiles)
             logu = jnp.log(
                 jax.random.uniform(
-                    k, (n_sweeps, n_colors, batch_tile, W_pad), minval=1e-12
+                    k,
+                    (n_tiles, n_sweeps, n_colors, batch_tile, W_pad),
+                    minval=1e-12,
                 )
             )
-            extra_in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            extra_in_specs = [
+                pl.BlockSpec(
+                    (1, n_sweeps, n_colors, batch_tile, W_pad),
+                    lambda i: (i, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
             extra_args = [logu]
         out = pl.pallas_call(
             kernel,

@@ -74,11 +74,26 @@ def distributed_generate(file_path, cfg, nbr_datapoints, progress=None):
 
     sl = host_shard(nbr_datapoints)
     n_local = max(sl.stop - sl.start, 0)
+    per = -(-nbr_datapoints // jax.process_count())
     local_cfg = dataclasses.replace(cfg, seed=cfg.seed + jax.process_index())
     ds = _generate(None, local_cfg, n_local, progress=progress)
-    qms = allgather_rows(ds.qubit_matrices.reshape(len(ds), -1))
-    distrs = allgather_rows(ds.distributions)
-    trues = allgather_rows(ds.true_classes)
+
+    def pad_rows(a):
+        # process_allgather needs equal shapes on every host: pad the ragged
+        # last shard and mark padding rows invalid (true_class = -1)
+        a = np.asarray(a)
+        if len(a) == per:
+            return a
+        pad_shape = (per - len(a),) + a.shape[1:]
+        return np.concatenate([a, np.zeros(pad_shape, a.dtype)], axis=0)
+
+    qms = allgather_rows(pad_rows(ds.qubit_matrices.reshape(len(ds), -1)))
+    distrs = allgather_rows(pad_rows(ds.distributions))
+    trues_local = pad_rows(ds.true_classes)
+    trues_local[len(ds):] = -1
+    trues = allgather_rows(trues_local)
+    keep = trues >= 0
+    qms, distrs, trues = qms[keep], distrs[keep], trues[keep]
     from ..pipeline.dataset import Dataset
     from ..models import get_spec
 

@@ -131,11 +131,13 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         return distr, lambda d: int(np.argmax(d[: spec.n_classes]))
     if method == "all":
         # ST + STDC + STRC concatenated (generate_data_noise_models.py:112-123)
+        # independent RNG streams so the sub-decoders sample independent
+        # chains (the reference runs separate chain objects per decoder)
         d1 = single_temp(spec, init, cfg.p_error, cfg.steps, seed=seed)
         d2 = STDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                  cfg.steps, seed=seed)
+                  cfg.steps, seed=seed + 1_000_003)
         d3 = STRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                  cfg.steps, seed=seed)
+                  cfg.steps, seed=seed + 2_000_003)
         distr = np.concatenate([d1, d2, d3], axis=1).astype(np.float32)
         K = spec.n_classes
         return distr, lambda d: int(np.argmax(d[K : 2 * K]))
@@ -232,22 +234,22 @@ def generate(
             if done >= nbr_datapoints:
                 return prev
     t0 = time.time()
-    key = jax.random.PRNGKey(cfg.seed)
-    batch_idx = 0
+    base_key = jax.random.PRNGKey(cfg.seed)
     last_ckpt = 0
     while done < nbr_datapoints:
         n = min(cfg.batch, nbr_datapoints - done)
-        key, k_err = jax.random.split(key)
+        # key/seed derived from `done` so append=True resumes produce fresh,
+        # non-duplicated samples
+        k_err = jax.random.fold_in(base_key, done)
         states = sample_errors(spec, cfg, k_err)[:n]
         eq_true = np_eq_class(spec, states)
-        distr, decide = decode_batch(spec, cfg, states, cfg.seed + batch_idx)
+        distr, decide = decode_batch(spec, cfg, states, cfg.seed + done)
         decisions = np.array([decide(d) for d in distr])
         failed += int((decisions != eq_true).sum())
         qms.append(states.reshape((n,) + spec.state_shape))
         distrs.append(distr)
         trues.append(eq_true.astype(np.int32))
         done += n
-        batch_idx += 1
         if progress:
             progress(
                 f"[generate] {done}/{nbr_datapoints} points, {failed} failed, "
