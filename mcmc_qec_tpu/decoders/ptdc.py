@@ -27,9 +27,11 @@ from .counting import SampleStream, occupancy_stats, z_direct_count
 
 
 @functools.lru_cache(maxsize=None)
-def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int):
+def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int,
+                    engine: str = "literal"):
     """Sampler over (B*K) ladders recording every rung each step."""
-    ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0)
+    ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0,
+                                   engine=engine)
     mults = jnp.asarray(make_hash_mults(spec))
 
     def run(ls_state, ls_flag, ls_tops, key, betas_ladder):
@@ -63,6 +65,7 @@ def _pt_stream(
     droplets: int,
     iters: int,
     seed: int,
+    engine: str = "literal",
 ):
     """Run droplet PT ladders for every (syndrome, class); returns streams
     with axes (B, K, Nc, droplets*steps)."""
@@ -76,7 +79,7 @@ def _pt_stream(
         seeds[:, :, None, :], (B, K, droplets, nq)
     ).reshape(B * K * droplets, nq)
     ls = init_ladder(spec, flat, Nc)
-    sampler = _get_pt_sampler(spec, Nc, steps, iters)
+    sampler = _get_pt_sampler(spec, Nc, steps, iters, engine)
     ladder = beta_ladder_depolarizing(p_sampling, Nc)
     keys_, nxyz = sampler(
         ls.state, ls.flag, ls.tops0, jax.random.PRNGKey(seed),
@@ -99,6 +102,7 @@ def PTDC(
     Nc: Optional[int] = None,
     steps: int = 20000,
     seed: int = 0,
+    engine: str = "literal",
 ) -> np.ndarray:
     """Direct counting over PT samples (decoders.py:168-233).  All rungs'
     visits enter one unique-chain set per class; Z = sum_unique
@@ -108,7 +112,8 @@ def PTDC(
     Nc = Nc or spec.size
     steps_eff = steps // Nc
     stream, _ = _pt_stream(
-        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed
+        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed,
+        engine,
     )
     B, K = stream.keys.shape[:2]
     # merge rung axis into the sample axis: dedup across the whole ladder
@@ -129,6 +134,7 @@ def PTRC(
     Nc: Optional[int] = None,
     steps: int = 20000,
     seed: int = 0,
+    engine: str = "literal",
 ) -> np.ndarray:
     """Ratio counting over PT samples (decoders.py:638-742): per rung i
     (except the top),
@@ -145,7 +151,8 @@ def PTRC(
     Nc = Nc or spec.size
     steps_eff = steps // Nc
     stream, ladder = _pt_stream(
-        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed
+        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed,
+        engine,
     )
     st = occupancy_stats(stream, spec.nq)  # (B, K, Nc, nq+1)
     m_n = np.asarray(st.m_n, dtype=np.float64)

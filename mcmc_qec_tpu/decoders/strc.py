@@ -31,8 +31,9 @@ from .counting import SampleStream, make_sampler, occupancy_stats
 
 @functools.lru_cache(maxsize=None)
 def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
-                 conv_mult: float = 0.0):
-    sampler = make_sampler(spec, steps, iters_per_step=5)
+                 conv_mult: float = 0.0, engine: str = "literal"):
+    iters = 5 if engine == "literal" else 1
+    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
     nq = spec.nq
 
     def run(class_states, key, betas_sampling, beta_s, beta_e):
@@ -106,6 +107,7 @@ def STRC(
     steps: int = 20000,
     seed: int = 0,
     conv_mult: float = 0.0,
+    engine: str = "literal",
 ) -> np.ndarray:
     """Returns (B, K) float percentages (decoders.py:835-949)."""
     p_sampling = p_sampling or p_error
@@ -117,7 +119,7 @@ def STRC(
         seeds = jnp.asarray(init_states, jnp.uint8)
     beta_e = float(betas_depolarizing(p_error)[0])
     beta_s = float(betas_depolarizing(p_sampling)[0])
-    fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult)
+    fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult, engine)
     distr, _ = fn(
         seeds,
         jax.random.PRNGKey(seed),

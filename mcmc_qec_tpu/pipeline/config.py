@@ -39,6 +39,7 @@ class RunConfig:
     # --- TPU-native additions ---
     batch: int = 64  # syndromes decoded per device step
     seed: int = 0
+    engine: str = "literal"  # literal (reference cadence) | sweep | pallas
     max_steps: int = 200_000  # PTEQ step cap per batch
     window: int = 200  # PTEQ device window
     checkpoint_every: int = 50  # datapoints between checkpoints

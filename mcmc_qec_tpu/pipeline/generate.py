@@ -100,6 +100,7 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         Nc=cfg.Nc, SEQ=cfg.SEQ, TOPS=cfg.TOPS, eps=cfg.eps,
         max_steps=cfg.max_steps, iters=cfg.iters, window=cfg.window,
         conv_criteria=cfg.conv_criteria,
+        engine="sweep" if cfg.engine == "pallas" else cfg.engine,
     )
 
     if method == "PTEQ":
@@ -156,16 +157,18 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         return distr, lambda d: int(np.argmax(d[K : 2 * K]))
     if method == "PTDC":
         d = PTDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                 cfg.Nc, cfg.steps, seed=seed)
+                 cfg.Nc, cfg.steps, seed=seed,
+                 engine="sweep" if cfg.engine == "pallas" else cfg.engine)
         return d.astype(np.float32), argmax
     if method == "PTRC":
         d = PTRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                 cfg.Nc, cfg.steps, seed=seed)
+                 cfg.Nc, cfg.steps, seed=seed,
+                 engine="sweep" if cfg.engine == "pallas" else cfg.engine)
         return d.astype(np.float32), argmax
     if method == "STDC":
         if noise in ("depolarizing",):
             d = STDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                     cfg.steps, seed=seed)
+                     cfg.steps, seed=seed, engine=cfg.engine)
         elif noise == "uncorrelated":
             d = STDC_general_noise(spec, init, uncorrelated_p_xyz(cfg.p_error),
                                    cfg.p_sampling, cfg.droplets, cfg.steps,
@@ -183,7 +186,7 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         return d.astype(np.float32), argmin
     if method == "STRC":
         d = STRC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                 cfg.steps, seed=seed)
+                 cfg.steps, seed=seed, engine=cfg.engine)
         return d.astype(np.float32), argmax
     if method == "eMWPM":
         # shortest total-length class among class-constrained solutions
