@@ -61,3 +61,45 @@ def test_metric_helpers():
     assert rates.shape == (2,)
     curve = unique_discovery_curve([True, False, True, True])
     assert curve.tolist() == [1, 1, 2, 3]
+
+
+def test_ladder_metrics_from_real_run():
+    """Exercise the metrics helpers on an actual PT ladder trajectory."""
+    import jax.numpy as jnp
+
+    from mcmc_qec_tpu.mcmc.ladder import (
+        beta_ladder_depolarizing,
+        init_ladder,
+        make_ladder_step,
+    )
+    from mcmc_qec_tpu.utils import LadderMetrics
+
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+
+    spec = get_spec("toric", 3)
+    Nc = 3
+    step = jax.jit(make_ladder_step(spec, Nc, iters=10, p_logical=0.5))
+    betas = jnp.asarray(beta_ladder_depolarizing(0.1, Nc), jnp.float32)
+    # nonzero syndrome: at the all-zero minimum, downward flag swaps are
+    # exponentially suppressed and tops0 stays ~0
+    s0 = sample_depolarizing(jax.random.PRNGKey(5), spec, 0.1, (4,))
+    ls = init_ladder(spec, s0, Nc)
+    key = jax.random.PRNGKey(0)
+    flags, energies = [], []
+    n_steps = 250
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        ls, beq, nxyz = step(ls, k, betas)
+        flags.append(np.asarray(ls.flag[0]))
+        energies.append(float(np.asarray(nxyz[0]).sum()))
+    m = LadderMetrics(
+        swap_accept_rate=swap_acceptance_from_traces(np.stack(flags)),
+        tops0_rate=float(np.asarray(ls.tops0).sum()) / (4 * n_steps),
+        energy_ess=effective_sample_size(np.array(energies)),
+        steps=n_steps,
+    )
+    assert m.swap_accept_rate.shape == (Nc,)
+    # replicas complete round trips at d=3 (rate ~1-2% per step per ladder)
+    assert m.tops0_rate > 0
+    assert m.energy_ess > 1
+    assert "tops0_rate" in m.to_json()
