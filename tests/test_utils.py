@@ -103,3 +103,20 @@ def test_ladder_metrics_from_real_run():
     assert m.tops0_rate > 0
     assert m.energy_ess > 1
     assert "tops0_rate" in m.to_json()
+
+
+def test_device_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from mcmc_qec_tpu.utils import StageTimer, Throughput, device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        jnp.zeros(8).sum().block_until_ready()
+    t = Throughput()
+    with t.measure(100):
+        pass
+    assert t.work == 100
+    st = StageTimer()
+    with st.stage("x"):
+        pass
+    assert "x" in st.summary()
