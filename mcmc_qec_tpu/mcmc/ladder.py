@@ -123,9 +123,42 @@ def make_ladder_step(
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
     if engine == "sweep":
         from ..ops.dense_sweep import make_dense_sweep
+        from ..ops.pauli import count_errors_xyz as _cexyz
 
         sweep_fn = make_dense_sweep(spec)
-        top_update = make_chain_update(spec, iters, include_logical=True)
+        draws = spec.logical_draws
+
+        def top_logical_mix(top, key, betas_top):
+            """Batched logical mixing for the top rung: ``iters`` rounds of
+            w.p.-p_logical logical proposals (the top rung's beta is ~0 so
+            these nearly always accept; acceptance is still evaluated for
+            generality).  Dense (B, nq) ops — no per-chain vmap."""
+            B = top.shape[0]
+            for t in range(iters):
+                kt = jax.random.fold_in(key, t)
+                kg, ka = jax.random.split(kt)
+                gate = jax.random.bernoulli(kg, p_logical, (B,))
+                mask = jnp.zeros_like(top)
+                for i, drw in enumerate(draws):
+                    ko, kx, kz = jax.random.split(
+                        jax.random.fold_in(kt, 100 + i), 3
+                    )
+                    op = jax.random.randint(ko, (B,), 0, 4)
+                    xp = jax.random.randint(kx, (B,), 0, drw.x_masks.shape[0])
+                    zp = jax.random.randint(kz, (B,), 0, drw.z_masks.shape[0])
+                    do = jnp.asarray(drw.op_lut)[op]  # (B, 2)
+                    xm = jnp.asarray(drw.x_masks)[xp] * do[:, 0:1]
+                    zm = jnp.asarray(drw.z_masks)[zp] * do[:, 1:2]
+                    mask = mask ^ xm ^ zm
+                new = top ^ mask
+                dn = (_cexyz(new) - _cexyz(top)).astype(jnp.float32)  # (B, 3)
+                logr = -jnp.sum(betas_top * dn, axis=-1)
+                logu = jnp.log(
+                    jax.random.uniform(ka, (B,), minval=1e-38)
+                )
+                accept = gate & (logu < logr)
+                top = jnp.where(accept[:, None], new, top)
+            return top
 
     def step(ls: LadderState, key: jax.Array, betas: jax.Array):
         betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
@@ -141,9 +174,7 @@ def make_ladder_step(
             ks = jax.random.split(k_sweep, iters)
             state, _ = jax.lax.scan(body, state, ks)
             k_top = jax.random.fold_in(k_sweep, 0x707)
-            top = top_update(
-                state[:, -1], k_top, betas_j[None, -1, :], p_logical
-            )
+            top = top_logical_mix(state[:, -1], k_top, betas_j[-1])
             state = state.at[:, -1].set(top)
         else:
             state = update(
@@ -151,7 +182,11 @@ def make_ladder_step(
             )
 
         # 2) Replica-exchange sweep, top -> bottom (unrolled; Nc is small).
+        #    Swaps act on a per-ladder rung permutation; the (B, Nc, nq)
+        #    state is gathered once at the end instead of being rewritten
+        #    per accepted pair.
         n_xyz = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)
+        perm = jnp.broadcast_to(jnp.arange(Nc)[None, :], (B, Nc))
         for j, i in enumerate(reversed(range(Nc - 1))):
             ki = jax.random.fold_in(k_swap, j)
             d_beta = betas_j[i + 1] - betas_j[i]  # (3,)
@@ -166,9 +201,10 @@ def make_ladder_step(
                 arr = arr.at[:, i].set(jnp.where(sel, aj, ai))
                 return arr.at[:, i + 1].set(jnp.where(sel, ai, aj))
 
-            state = swap_rows(state)
+            perm = swap_rows(perm)
             flag = swap_rows(flag)
             n_xyz = swap_rows(n_xyz)
+        state = jnp.take_along_axis(state, perm[:, :, None], axis=1)
 
         # 3) Flag bookkeeping (src/mcmc.py:100-103).
         flag = flag.at[:, -1].set(1)
