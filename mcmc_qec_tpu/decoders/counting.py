@@ -179,13 +179,18 @@ def z_direct_count(
     """
 
     def one(keys, n_xyz, v):
-        # sort valid samples of each key first so the group representative
-        # is valid whenever any valid sample of that chain exists
-        order = jnp.lexsort(((~v).astype(jnp.int32), keys[:, 1], keys[:, 0]))
-        sk = keys[order]
-        prev = jnp.roll(sk, 1, axis=0)
-        first = jnp.any(sk != prev, axis=-1).at[0].set(True) & v[order]
-        w = _weighted_length(n_xyz, betas_error)[order]  # (N,)
+        # one fused lexicographic sort (invalid samples of a key sort after
+        # valid ones so the group representative is valid whenever possible)
+        w_all = _weighted_length(n_xyz, betas_error)
+        k1, k2, vinv, w, vs = jax.lax.sort(
+            (keys[:, 0], keys[:, 1], (~v).astype(jnp.int32), w_all,
+             v.astype(jnp.int32)),
+            num_keys=3,
+        )
+        first = (
+            ((k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1))).at[0].set(True)
+            & (vs == 1)
+        )
         if shortest_only:
             wmin = jnp.min(jnp.where(first, w, jnp.inf))
             first = first & jnp.isclose(w, wmin, rtol=1e-5, atol=1e-8)
@@ -219,12 +224,16 @@ def occupancy_stats(stream: SampleStream, nq: int,
     decoders.py:597-623, 768-827)."""
 
     def one(keys, n_xyz, v):
-        order = jnp.lexsort(((~v).astype(jnp.int32), keys[:, 1], keys[:, 0]))
-        sk = keys[order]
-        prev = jnp.roll(sk, 1, axis=0)
-        first = jnp.any(sk != prev, axis=-1).at[0].set(True) & v[order]
-        vs = v[order].astype(jnp.int32)
-        n = jnp.sum(n_xyz, axis=-1)[order]  # (N,)
+        n_all = jnp.sum(n_xyz, axis=-1)
+        k1, k2, vinv, n, vs = jax.lax.sort(
+            (keys[:, 0], keys[:, 1], (~v).astype(jnp.int32), n_all,
+             v.astype(jnp.int32)),
+            num_keys=3,
+        )
+        first = (
+            ((k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1))).at[0].set(True)
+            & (vs == 1)
+        )
         m_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(vs)
         N_n = jnp.zeros(nq + 2, jnp.int32).at[n].add(first.astype(jnp.int32))
         has = m_n[: nq + 1] > 0
