@@ -17,3 +17,4 @@ from .stdc import (
 )
 from .strc import STRC
 from .ptdc import PTDC, PTRC
+from .exact import exact_mld, orbit

@@ -236,3 +236,16 @@ def test_stdc_handles_zero_probability_pauli():
                                p_sampling=0.2, droplets=2, steps=1500)
     assert np.all(np.isfinite(distr))
     assert abs(distr.sum() - 100) < 1.0
+
+
+def test_exact_mld_matches_test_oracle():
+    from mcmc_qec_tpu.decoders import exact_mld
+
+    spec, s0 = _syndrome_state("planar", 3)
+    betas = betas_depolarizing(0.1)
+    ours = exact_mld(spec, s0[None], betas)[0]
+    oracle = exact_class_posterior(spec, s0, betas, np_to_class)
+    assert np.allclose(ours, oracle, atol=1e-10)
+    # and STDC agrees with the library decoder end to end
+    distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=3000)
+    assert tv(ours, distr[0] / 100.0) < 0.03
