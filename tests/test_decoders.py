@@ -249,3 +249,22 @@ def test_exact_mld_matches_test_oracle():
     # and STDC agrees with the library decoder end to end
     distr = STDC(spec, s0[None], 0.1, p_sampling=0.25, droplets=4, steps=3000)
     assert tv(ours, distr[0] / 100.0) < 0.03
+
+
+def test_pteq_biased_matches_exact_posterior():
+    from mcmc_qec_tpu.decoders import PTEQ_biased
+    from mcmc_qec_tpu.models.noise import xyz_probs_from_biased
+
+    spec, _ = _syndrome_state("xzzx", 3)
+    p, eta = 0.12, 4.0
+    px, py, pz = xyz_probs_from_biased(p, eta)
+    s0 = np.asarray(sample_xyz(jax.random.PRNGKey(9), spec, px, py, pz, (1,)))[0]
+    be = betas_xyz(px, py, pz)
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    B = 8
+    res = PTEQ_biased(
+        spec, np.tile(s0[None], (B, 1)), p, eta,
+        PTEQConfig(max_steps=6000, window=200, TOPS=20, SEQ=4), seed=6,
+    )
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) == np.argmax(exact), (mean_distr, exact)
