@@ -83,3 +83,23 @@ def test_mwpm_is_minimal_weight():
         # MWPM minimizes per-layer path length; the total correction weight
         # should not exceed the error weight except for Y-coupling effects.
         assert (corr != 0).sum() <= max((s != 0).sum() * 2, 2)
+
+
+def test_random_pairing_solve():
+    """random_pairing produces a valid (suboptimal) correction
+    (mwpm.py:33-50, 408-415)."""
+    spec, states = _random_states("planar", 5, 0.15, 5, seed=9)
+    for s in states:
+        corr = mwpm_correction(spec, s, random_pairing=True, seed=3)
+        assert np.array_equal(
+            np_syndrome(spec, corr.reshape(-1)), np_syndrome(spec, s)
+        )
+
+
+def test_enhanced_mwpm_all_models():
+    spec, states = _random_states("planar", 5, 0.08, 6, seed=10)
+    for s in states:
+        for model, kw in [("depolarizing", {}), ("uncorrelated", {}),
+                          ("biased", {"p_xyz": np.array([0.02, 0.02, 0.1])})]:
+            eq = enhanced_mwpm(spec, s, model=model, seed=0, **kw)
+            assert 0 <= eq < 4
