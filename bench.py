@@ -80,7 +80,7 @@ def bench_pallas(family="toric", d=5, batch=32768, sweeps_per_call=400, calls=3)
     return best
 
 
-def bench_stdc_decoder(d=5, B=32, steps=450, droplets=4):
+def bench_stdc_decoder(d=5, B=1024, steps=450, droplets=4):
     """Decoder-level throughput: full STDC (sweep engine) on a syndrome
     batch — sampling + on-device dedup + Z reduction."""
     from mcmc_qec_tpu.models import get_spec
