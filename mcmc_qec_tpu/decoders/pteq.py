@@ -72,14 +72,16 @@ _WINDOW_CACHE = {}
 
 
 def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
-                   track_shortest: bool = False):
+                   track_shortest: bool = False,
+                   top_exact_accept: bool = False):
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn, track_shortest, cfg.engine)
+           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
     ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical,
-                                   engine=cfg.engine)
+                                   engine=cfg.engine,
+                                   top_exact_accept=top_exact_accept)
     if track_shortest:
         from ..ops.pauli import make_hash_mults, pack_key
 
@@ -101,7 +103,7 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
             eq_count = eq_count.at[jnp.arange(B), bottom_eq].add(burned)
             since_burn = since_burn + burned
             energy = jnp.sum(weights * n_xyz0, axis=-1)  # (B,)
-            out = (energy, burned, ls.tops0)
+            out = (energy, burned)
             if track_shortest:
                 out = out + (bottom_eq, pack_key(spec, ls.state[:, 0], mults))
             return (ls, eq_count, since_burn), out
@@ -110,7 +112,15 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
         (ls, eq_count, since_burn), outs = jax.lax.scan(
             body, (ls, eq_count, since_burn), keys
         )
-        return (ls, eq_count, since_burn) + tuple(outs)
+        # compact summaries computed on device so the host fetches (B,)-sized
+        # arrays, not (W, B) traces (the TPU is reached over a high-latency
+        # tunnel; transfer count and volume dominate the host loop otherwise)
+        burned = outs[1]  # (W, B)
+        burn_any = jnp.any(burned > 0, axis=0)
+        burn_first = jnp.argmax(burned > 0, axis=0).astype(jnp.int32)
+        extras = tuple(outs[2:]) if track_shortest else ()
+        return (ls, eq_count, since_burn, outs[0], burn_any, burn_first,
+                ls.tops0) + extras
 
     fn = jax.jit(window, donate_argnums=(0,))
     _WINDOW_CACHE[key] = fn
@@ -131,7 +141,10 @@ def pteq_run(
     B = init_states.shape[0]
     Nc = beta_ladder.shape[0]
     K = spec.n_classes
-    window_fn = _get_window_fn(spec, Nc, cfg, track_shortest)
+    # depolarizing (p_top=0.75) and alpha (pz_tilde_top=1) ladders have
+    # exactly-zero top-rung betas -> always-accept logical mixing fast path
+    top_exact = bool(np.allclose(np.asarray(beta_ladder)[-1], 0.0, atol=1e-9))
+    window_fn = _get_window_fn(spec, Nc, cfg, track_shortest, top_exact)
 
     ls = init_ladder(spec, jnp.asarray(init_states, dtype=jnp.uint8), Nc)
     eq_count = jnp.zeros((B, K), dtype=jnp.int32)
@@ -141,8 +154,12 @@ def pteq_run(
 
     key = jax.random.PRNGKey(seed)
 
-    # Host-side convergence automaton state.
-    energy_chunks = []
+    # Host-side convergence automaton state.  The energy-trace prefix sum is
+    # maintained incrementally in a capacity-doubling buffer (row t+1 =
+    # sum of the first t energies) — recomputing the cumsum each window
+    # would be O(T^2) over the run.
+    cum = np.zeros((1 + 4 * cfg.window, B))
+    cum_rows = 1
     burn_start = np.full(B, -1, dtype=np.int64)  # first post-burn step idx
     conv_start = np.zeros(B, dtype=np.int64)  # tops0 at start of streak
     in_streak = np.zeros(B, dtype=bool)
@@ -162,15 +179,18 @@ def pteq_run(
         key, k = jax.random.split(key)
         out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
         ls, eq_count, since_burn = out[:3]
-        energies = np.asarray(out[3])  # (W, B)
-        burned_np = np.asarray(out[4])  # (W, B)
-        tops_np = np.asarray(out[5])  # (W, B)
+        # one bundled device->host round trip per window (the remote-TPU
+        # tunnel makes each separate fetch expensive)
+        fetch = jax.device_get(out[3:] + (since_burn, eq_count))
+        energies = fetch[0]  # (W, B)
+        burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
         W = energies.shape[0]
         if track_shortest:
-            eq_trace = np.asarray(out[6])  # (W, B)
-            key_trace = np.asarray(out[7])  # (W, B, 2)
+            eq_trace, key_trace = fetch[4], fetch[5]  # (W, B), (W, B, 2)
             for t in range(W):
-                for b in np.nonzero(burned_np[t])[0]:
+                # burned before this window, or burned at step <= t within it
+                post_burn = (burn_start >= 0) | (burn_any & (burn_first <= t))
+                for b in np.nonzero(post_burn)[0]:
                     e = energies[t, b]
                     eq = int(eq_trace[t, b])
                     kk = (int(key_trace[t, b, 0]), int(key_trace[t, b, 1]))
@@ -183,20 +203,22 @@ def pteq_run(
                         sh_unique[b][eq].add(kk)
 
         # track first post-burn step (global index)
-        newly = (burn_start < 0) & burned_np.any(axis=0)
+        newly = (burn_start < 0) & burn_any
         if newly.any():
-            first = np.argmax(burned_np[:, newly], axis=0)
-            burn_start[newly] = steps_done + first
+            burn_start[newly] = steps_done + burn_first[newly]
         steps_done += W
-        energy_chunks.append(energies)
+        if cum_rows + W > cum.shape[0]:
+            grown = np.zeros((max(2 * cum.shape[0], cum_rows + W), B))
+            grown[:cum_rows] = cum[:cum_rows]
+            cum = grown
+        cum[cum_rows : cum_rows + W] = cum[cum_rows - 1] + np.cumsum(
+            energies, axis=0
+        )
+        cum_rows += W
 
         if cfg.conv_criteria == "error_based":
-            trace = np.concatenate(energy_chunks, axis=0)  # (T, B)
-            cumsum = np.concatenate(
-                [np.zeros((1, B)), np.cumsum(trace, axis=0)], axis=0
-            )
-            sb = np.asarray(since_burn)
-            tops_now = tops_np[-1]
+            cumsum = cum[:cum_rows]
+            sb = fetch[-2]
             active = ~converged & (tops_now >= cfg.TOPS) & (burn_start >= 0)
             if active.any():
                 accept = error_based_accept(
@@ -208,7 +230,7 @@ def pteq_run(
                 in_streak = accept
                 done = active & accept & (tops_now - conv_start >= cfg.SEQ)
                 if done.any():
-                    ec = np.asarray(eq_count)
+                    ec = fetch[-1]
                     idx = np.nonzero(done)[0]
                     # our since_burn equals the number of post-burn samples
                     # (the reference's denominator since_burn+1,

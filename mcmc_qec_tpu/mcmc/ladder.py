@@ -104,6 +104,7 @@ def make_ladder_step(
     iters: int = 10,
     p_logical: float = 0.5,
     engine: str = "literal",
+    top_exact_accept: bool = False,
 ):
     """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz)``.
 
@@ -118,6 +119,15 @@ def make_ladder_step(
     parallel proposals) — far better device utilization; the top rung
     additionally runs ``iters`` literal proposals with logical mixing so
     class transitions keep the reference cadence.
+
+    ``top_exact_accept``: set True when the top rung's betas are exactly
+    zero (depolarizing p_top=0.75, src/mcmc.py:62-66, and alpha
+    pz_tilde_top=1, src/mcmc_alpha.py:94-98 — in both, factor==1 so every
+    logical proposal is accepted, src/mcmc.py:30).  Logical masks commute
+    under XOR, so the ``iters`` sequential MH rounds collapse into one
+    batched XOR of gated random masks — no error counting, no sequential
+    chain.  Distributionally identical to the general path when the top
+    betas are 0.
     """
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
@@ -128,37 +138,61 @@ def make_ladder_step(
         sweep_fn = make_dense_sweep(spec)
         draws = spec.logical_draws
 
-        def top_logical_mix(top, key, betas_top):
-            """Batched logical mixing for the top rung: ``iters`` rounds of
-            w.p.-p_logical logical proposals (the top rung's beta is ~0 so
-            these nearly always accept; acceptance is still evaluated for
-            generality).  Dense (B, nq) ops — no per-chain vmap."""
+        def _gated_masks(top, key):
+            """(iters, B, nq) gated random-logical masks, all rounds batched."""
             B = top.shape[0]
-            for t in range(iters):
-                kt = jax.random.fold_in(key, t)
-                kg, ka = jax.random.split(kt)
-                gate = jax.random.bernoulli(kg, p_logical, (B,))
-                mask = jnp.zeros_like(top)
-                for i, drw in enumerate(draws):
-                    ko, kx, kz = jax.random.split(
-                        jax.random.fold_in(kt, 100 + i), 3
-                    )
-                    op = jax.random.randint(ko, (B,), 0, 4)
-                    xp = jax.random.randint(kx, (B,), 0, drw.x_masks.shape[0])
-                    zp = jax.random.randint(kz, (B,), 0, drw.z_masks.shape[0])
-                    do = jnp.asarray(drw.op_lut)[op]  # (B, 2)
-                    xm = jnp.asarray(drw.x_masks)[xp] * do[:, 0:1]
-                    zm = jnp.asarray(drw.z_masks)[zp] * do[:, 1:2]
-                    mask = mask ^ xm ^ zm
-                new = top ^ mask
-                dn = (_cexyz(new) - _cexyz(top)).astype(jnp.float32)  # (B, 3)
-                logr = -jnp.sum(betas_top * dn, axis=-1)
-                logu = jnp.log(
-                    jax.random.uniform(ka, (B,), minval=1e-38)
+            gate = jax.random.bernoulli(
+                jax.random.fold_in(key, 0xA), p_logical, (iters, B)
+            )
+            mask = jnp.zeros((iters,) + top.shape, top.dtype)
+            for i, drw in enumerate(draws):
+                ko, kx, kz = jax.random.split(
+                    jax.random.fold_in(key, 100 + i), 3
                 )
-                accept = gate & (logu < logr)
-                top = jnp.where(accept[:, None], new, top)
-            return top
+                op = jax.random.randint(ko, (iters, B), 0, 4)
+                xp = jax.random.randint(kx, (iters, B), 0, drw.x_masks.shape[0])
+                zp = jax.random.randint(kz, (iters, B), 0, drw.z_masks.shape[0])
+                do = jnp.asarray(drw.op_lut)[op]  # (iters, B, 2)
+                xm = jnp.asarray(drw.x_masks)[xp] * do[..., 0:1]
+                zm = jnp.asarray(drw.z_masks)[zp] * do[..., 1:2]
+                mask = mask ^ xm ^ zm
+            return jnp.where(gate[..., None], mask, jnp.zeros_like(mask))
+
+        if top_exact_accept:
+
+            def top_logical_mix(top, key, betas_top):
+                """Zero-beta top rung: every gated proposal accepts and the
+                masks commute, so one XOR applies all ``iters`` rounds."""
+                del betas_top
+                masks = _gated_masks(top, key)
+                total = masks[0]
+                for t in range(1, iters):
+                    total = total ^ masks[t]
+                return top ^ total
+
+        else:
+
+            def top_logical_mix(top, key, betas_top):
+                """General batched logical mixing for the top rung:
+                ``iters`` sequential MH rounds (proposals pre-generated in
+                one batch; the per-Pauli count of the current state is kept
+                incrementally so each round costs one count, not two)."""
+                B = top.shape[0]
+                masks = _gated_masks(top, key)
+                logu = jnp.log(
+                    jax.random.uniform(
+                        jax.random.fold_in(key, 0xB), (iters, B), minval=1e-38
+                    )
+                )
+                n_top = _cexyz(top).astype(jnp.float32)  # (B, 3)
+                for t in range(iters):
+                    new = top ^ masks[t]
+                    n_new = _cexyz(new).astype(jnp.float32)
+                    logr = -jnp.sum(betas_top * (n_new - n_top), axis=-1)
+                    accept = logu[t] < logr
+                    top = jnp.where(accept[:, None], new, top)
+                    n_top = jnp.where(accept[:, None], n_new, n_top)
+                return top
 
     def step(ls: LadderState, key: jax.Array, betas: jax.Array):
         betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
