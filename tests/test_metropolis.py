@@ -143,3 +143,35 @@ def test_dense_sweep_stationary_distribution(family, d):
     assert np.array_equal(
         np_syndrome(spec, final), np.tile(np_syndrome(spec, state0), (len(final), 1))
     )
+
+
+def test_top_mix_fast_path_equivalence():
+    """With zero top-rung betas (depolarizing p_top=0.75), the always-accept
+    batched-XOR logical mix must produce the same class-transition
+    distribution as the general MH mix (they are the same chain when every
+    proposal accepts)."""
+    from mcmc_qec_tpu.mcmc.ladder import (
+        beta_ladder_depolarizing, init_ladder, make_ladder_step,
+    )
+    from mcmc_qec_tpu.ops.pauli import eq_class
+
+    spec = get_spec("toric", 3)
+    Nc, B = 2, 768
+    betas = jnp.asarray(beta_ladder_depolarizing(0.75, Nc), jnp.float32)
+    assert np.allclose(np.asarray(betas)[-1], 0.0, atol=1e-7)
+    rng = np.random.RandomState(11)
+    state0 = ((rng.randint(0, 4, spec.nq) * (rng.rand(spec.nq) < 0.2))
+              .astype(np.uint8) * spec.valid_mask)
+    states = jnp.broadcast_to(jnp.asarray(state0), (B, spec.nq))
+
+    hists = []
+    for fast in (False, True):
+        step = make_ladder_step(spec, Nc, iters=6, p_logical=0.5,
+                                engine="sweep", top_exact_accept=fast)
+        ls, _, _ = jax.jit(step)(
+            init_ladder(spec, states, Nc), jax.random.PRNGKey(42 + fast), betas
+        )
+        classes = np.asarray(eq_class(spec, ls.state[:, -1]))
+        hists.append(np.bincount(classes, minlength=spec.n_classes) / B)
+    tv = 0.5 * np.abs(hists[0] - hists[1]).sum()
+    assert tv < 0.10, f"fast/general top-mix class distributions differ, TV {tv:.3f}"
