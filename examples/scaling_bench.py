@@ -9,7 +9,8 @@ efficiency must be measured on a pod slice, where the same code exercises
 ICI.
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/scaling_bench.py          # CPU mesh
+      python examples/scaling_bench.py --cpu    # virtual 8-device CPU mesh
+      python examples/scaling_bench.py          # real device(s)
 """
 
 import sys
@@ -30,7 +31,14 @@ def main():
         )
     import jax
 
-    if jax.device_count() == 1 and jax.devices()[0].platform != "tpu":
+    # --cpu: force the virtual 8-device CPU mesh.  This must happen BEFORE
+    # any jax.devices()/device_count() call — the first device query locks
+    # the backend and jax_platforms updates are ignored afterwards.
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    elif jax.device_count() == 1 and jax.devices()[0].platform not in (
+        "tpu", "axon"
+    ):
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
