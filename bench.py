@@ -106,6 +106,38 @@ def bench_stdc_decoder(d=5, B=1024, steps=450, droplets=4):
     return best, syn_rate
 
 
+def bench_pteq(B=512, max_steps=8000):
+    """PTEQ decoder throughput on hard syndromes (golden corpus when
+    readable, synthetic p=0.15 errors otherwise): full parallel-tempering
+    decode — ladder sweeps, replica exchange, burn-in, windowed
+    convergence — per wall second."""
+    import os
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.decoders.pteq import PTEQ, PTEQConfig
+
+    spec = get_spec("toric", 5)
+    golden = "/root/reference/data/drl_failures_p_0.15.xz"
+    if os.path.exists(golden):
+        from mcmc_qec_tpu.pipeline.evaluate import load_golden_corpus
+
+        _, flat, _ = load_golden_corpus(golden)
+        states = flat[:B]
+    else:
+        from mcmc_qec_tpu.models.noise import sample_depolarizing
+
+        states = np.asarray(
+            sample_depolarizing(jax.random.PRNGKey(0), spec, 0.15, (B,))
+        )
+    cfg = PTEQConfig(engine="sweep", max_steps=max_steps, window=200)
+    PTEQ(spec, states, 0.15, cfg)  # compile
+    best = 0.0
+    for rep in range(2):
+        t0 = time.perf_counter()
+        PTEQ(spec, states, 0.15, cfg, seed=rep + 1)
+        best = max(best, B / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     # keep total runtime bounded: remote compiles can take minutes each, so
     # optional extras are skipped once the time budget is spent
@@ -128,6 +160,11 @@ def main():
             extra["stdc_decoder_syndromes_per_sec_d5"] = round(stdc_syn, 1)
     except Exception as e:  # pragma: no cover
         extra["stdc_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.85:
+            extra["pteq_hard_syndromes_per_sec_d5"] = round(bench_pteq(), 1)
+    except Exception as e:  # pragma: no cover
+        extra["pteq_error"] = str(e)[:200]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
         "value": round(value, 1),
