@@ -54,6 +54,13 @@ class PTEQConfig:
     window: int = 100
     conv_criteria: str = "error_based"
     engine: str = "literal"  # literal (reference cadence) | sweep (TPU-fast)
+    # batch compaction: once >= 3/4 of the current device batch has
+    # converged, repack the stragglers into the next power-of-two bucket so
+    # converged syndromes stop consuming device time.  Each new bucket
+    # shape compiles once (persistently cached); min_compact bounds the
+    # number of buckets.  compact=False pins the original batch shape.
+    compact: bool = True
+    min_compact: int = 128
 
 
 @dataclasses.dataclass
@@ -66,6 +73,8 @@ class PTEQResult:
     # decoders_biasednoise.py:163-172):
     shortest_boltzmann: Optional[np.ndarray] = None  # (B, K) percentages
     shortest_counts: Optional[np.ndarray] = None  # (B, K) percentages
+    # device-batch sizes after each compaction (empty = never compacted)
+    buckets: Tuple[int, ...] = ()
 
 
 _WINDOW_CACHE = {}
@@ -158,6 +167,14 @@ def pteq_run(
     # maintained incrementally in a capacity-doubling buffer (row t+1 =
     # sum of the first t energies) — recomputing the cumsum each window
     # would be O(T^2) over the run.
+    #
+    # Batch compaction: device arrays and the per-element automaton arrays
+    # below live in *row* space (the current device batch of size Br);
+    # ``rows`` maps each row to its original syndrome index (-1 = padding).
+    # Result arrays (snap_*, converged, sh_*) stay in original space.
+    Br = B
+    rows = np.arange(B)
+    buckets = []
     cum = np.zeros((1 + 4 * cfg.window, B))
     cum_rows = 1
     burn_start = np.full(B, -1, dtype=np.int64)  # first post-burn step idx
@@ -186,21 +203,23 @@ def pteq_run(
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
         W = energies.shape[0]
         if track_shortest:
-            eq_trace, key_trace = fetch[4], fetch[5]  # (W, B), (W, B, 2)
+            eq_trace, key_trace = fetch[4], fetch[5]  # (W, Br), (W, Br, 2)
             for t in range(W):
                 # burned before this window, or burned at step <= t within it
                 post_burn = (burn_start >= 0) | (burn_any & (burn_first <= t))
+                post_burn &= rows >= 0
                 for b in np.nonzero(post_burn)[0]:
+                    ob = rows[b]
                     e = energies[t, b]
                     eq = int(eq_trace[t, b])
                     kk = (int(key_trace[t, b, 0]), int(key_trace[t, b, 1]))
-                    if e < sh_val[b, eq]:
-                        sh_val[b, eq] = e
-                        sh_count[b, eq] = 1
-                        sh_unique[b][eq] = {kk}
-                    elif e == sh_val[b, eq]:
-                        sh_count[b, eq] += 1
-                        sh_unique[b][eq].add(kk)
+                    if e < sh_val[ob, eq]:
+                        sh_val[ob, eq] = e
+                        sh_count[ob, eq] = 1
+                        sh_unique[ob][eq] = {kk}
+                    elif e == sh_val[ob, eq]:
+                        sh_count[ob, eq] += 1
+                        sh_unique[ob][eq].add(kk)
 
         # track first post-burn step (global index)
         newly = (burn_start < 0) & burn_any
@@ -208,7 +227,7 @@ def pteq_run(
             burn_start[newly] = steps_done + burn_first[newly]
         steps_done += W
         if cum_rows + W > cum.shape[0]:
-            grown = np.zeros((max(2 * cum.shape[0], cum_rows + W), B))
+            grown = np.zeros((max(2 * cum.shape[0], cum_rows + W), Br))
             grown[:cum_rows] = cum[:cum_rows]
             cum = grown
         cum[cum_rows : cum_rows + W] = cum[cum_rows - 1] + np.cumsum(
@@ -219,7 +238,10 @@ def pteq_run(
         if cfg.conv_criteria == "error_based":
             cumsum = cum[:cum_rows]
             sb = fetch[-2]
-            active = ~converged & (tops_now >= cfg.TOPS) & (burn_start >= 0)
+            real = rows >= 0
+            conv_r = np.ones(Br, dtype=bool)
+            conv_r[real] = converged[rows[real]]
+            active = ~conv_r & (tops_now >= cfg.TOPS) & (burn_start >= 0)
             if active.any():
                 accept = error_based_accept(
                     cumsum, np.maximum(burn_start, 0), sb, cfg.eps
@@ -232,25 +254,64 @@ def pteq_run(
                 if done.any():
                     ec = fetch[-1]
                     idx = np.nonzero(done)[0]
+                    orig = rows[idx]
                     # our since_burn equals the number of post-burn samples
                     # (the reference's denominator since_burn+1,
                     # decoders.py:89)
-                    snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None], 1)
-                    snap_steps[idx] = steps_done
-                    snap_tops[idx] = tops_now[idx]
-                    converged |= done
+                    snap_distr[orig] = ec[idx] / np.maximum(sb[idx, None], 1)
+                    snap_steps[orig] = steps_done
+                    snap_tops[orig] = tops_now[idx]
+                    converged[orig] = True
             if converged.all():
                 break
+
+        # repack stragglers into a smaller bucket once most of the device
+        # batch has converged (each bucket shape compiles once, persistently
+        # cached; converged rows otherwise burn device time until the cap)
+        if cfg.compact and Br > cfg.min_compact:
+            real_idx = np.nonzero(rows >= 0)[0]
+            alive_rows = real_idx[~converged[rows[real_idx]]]
+            n_alive = len(alive_rows)
+            if 0 < n_alive <= Br // 4:
+                new_Br = max(
+                    cfg.min_compact, 1 << int(n_alive - 1).bit_length()
+                )
+                if new_Br < Br:
+                    pad = new_Br - n_alive
+                    sel = np.concatenate(
+                        [alive_rows, np.repeat(alive_rows[:1], pad)]
+                    )
+                    sel_j = jnp.asarray(sel)
+                    ls = LadderState(
+                        jnp.take(ls.state, sel_j, axis=0),
+                        jnp.take(ls.flag, sel_j, axis=0),
+                        jnp.take(ls.tops0, sel_j, axis=0),
+                    )
+                    eq_count = jnp.take(eq_count, sel_j, axis=0)
+                    since_burn = jnp.take(since_burn, sel_j, axis=0)
+                    cum = np.ascontiguousarray(cum[:, sel])
+                    burn_start = burn_start[sel]
+                    conv_start = conv_start[sel]
+                    in_streak = in_streak[sel]
+                    rows = np.concatenate(
+                        [rows[alive_rows], np.full(pad, -1, rows.dtype)]
+                    )
+                    Br = new_Br
+                    buckets.append(new_Br)
 
     # unconverged elements: snapshot at the end (with the reference's
     # "hit max steps" warning semantics, decoders.py:84-87)
     if not converged.all():
         ec = np.asarray(eq_count)
         sb = np.asarray(since_burn)
-        idx = np.nonzero(~converged)[0]
-        snap_distr[idx] = ec[idx] / np.maximum(sb[idx, None], 1)
-        snap_steps[idx] = steps_done
-        snap_tops[idx] = np.asarray(ls.tops0)[idx]
+        tops_fin = np.asarray(ls.tops0)
+        r_idx = np.nonzero(rows >= 0)[0]
+        orig = rows[r_idx]
+        m = ~converged[orig]
+        r_idx, orig = r_idx[m], orig[m]
+        snap_distr[orig] = ec[r_idx] / np.maximum(sb[r_idx, None], 1)
+        snap_steps[orig] = steps_done
+        snap_tops[orig] = tops_fin[r_idx]
 
     distr = (snap_distr * 100).astype(np.uint8)
     sh_boltz = sh_counts = None
@@ -277,6 +338,7 @@ def pteq_run(
         tops0=snap_tops,
         shortest_boltzmann=sh_boltz,
         shortest_counts=sh_counts,
+        buckets=tuple(buckets),
     )
 
 

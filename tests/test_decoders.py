@@ -268,3 +268,27 @@ def test_pteq_biased_matches_exact_posterior():
     )
     mean_distr = res.distribution.mean(axis=0) / 100.0
     assert np.argmax(mean_distr) == np.argmax(exact), (mean_distr, exact)
+
+
+def test_pteq_batch_compaction_preserves_results():
+    """Compaction repacks unconverged stragglers into smaller buckets;
+    decode quality and result bookkeeping must be unaffected."""
+    spec = get_spec("toric", 3)
+    B = 64
+    key = jax.random.PRNGKey(9)
+    states = np.asarray(sample_depolarizing(key, spec, 0.05, (B,)))
+    true = np_eq_class(spec, states)
+    base = dict(engine="sweep", max_steps=8000, window=100, iters=4,
+                TOPS=3, SEQ=1, eps=0.5)
+    res_c = PTEQ(spec, states, 0.05,
+                 PTEQConfig(**base, compact=True, min_compact=8), seed=5)
+    res_n = PTEQ(spec, states, 0.05,
+                 PTEQConfig(**base, compact=False), seed=5)
+    assert len(res_c.buckets) >= 1, "compaction never triggered"
+    assert res_n.buckets == ()
+    for res in (res_c, res_n):
+        assert res.distribution.shape == (B, spec.n_classes)
+        # converged rows carry full (quantized) distributions
+        assert (res.distribution[res.converged].sum(axis=1) > 80).all()
+        assert np.mean(res.distribution.argmax(axis=1) == true) > 0.9
+        assert res.converged.mean() > 0.7
