@@ -165,6 +165,11 @@ def main():
             extra["pteq_hard_syndromes_per_sec_d5"] = round(bench_pteq(), 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.9:
+            extra["pallas_d9"] = round(bench_pallas(d=9), 1)
+    except Exception as e:  # pragma: no cover
+        extra["pallas_d9_error"] = str(e)[:200]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
         "value": round(value, 1),

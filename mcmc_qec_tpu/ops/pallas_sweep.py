@@ -81,10 +81,19 @@ def make_pallas_sweep(
                 d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
                 d2 = nb0 * nb1 - b0 * b1
                 d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
-                # (TB, nq_pad) @ (nq_pad, W_pad) on the MXU
-                dn1 = jnp.dot(d1, sel.T, preferred_element_type=jnp.float32)
-                dn2 = jnp.dot(d2, sel.T, preferred_element_type=jnp.float32)
-                dn3 = jnp.dot(d3, sel.T, preferred_element_type=jnp.float32)
+                # (TB, nq_pad) @ (nq_pad, W_pad) on the MXU.  All operands
+                # are small integers ({-1,0,1} deltas, 0/1 selectors) that
+                # bf16 represents exactly, and accumulation stays f32 —
+                # bit-identical results at 2x the MXU rate (1.4x measured
+                # end-to-end at d=9)
+                sel_bf = sel.astype(jnp.bfloat16)
+                selT_bf = sel_bf.T
+                dn1 = jnp.dot(d1.astype(jnp.bfloat16), selT_bf,
+                              preferred_element_type=jnp.float32)
+                dn2 = jnp.dot(d2.astype(jnp.bfloat16), selT_bf,
+                              preferred_element_type=jnp.float32)
+                dn3 = jnp.dot(d3.astype(jnp.bfloat16), selT_bf,
+                              preferred_element_type=jnp.float32)
                 logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_pad)
                 if interpret:
                     logu = logu_ref[0, t, c]
@@ -109,8 +118,9 @@ def make_pallas_sweep(
                     )
                     u = b24.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-12
                     logu = jnp.log(u)
-                accept = (logu < logr).astype(jnp.float32)
-                acc_q = jnp.dot(accept, sel, preferred_element_type=jnp.float32)
+                accept = (logu < logr).astype(jnp.bfloat16)
+                acc_q = jnp.dot(accept, sel_bf,
+                                preferred_element_type=jnp.float32)
                 b0 = fxor(b0, xop * acc_q)
                 b1 = fxor(b1, zop * acc_q)
             return b0, b1
