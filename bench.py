@@ -128,7 +128,8 @@ def bench_pteq(B=512, max_steps=8000):
         states = np.asarray(
             sample_depolarizing(jax.random.PRNGKey(0), spec, 0.15, (B,))
         )
-    cfg = PTEQConfig(engine="sweep", max_steps=max_steps, window=200)
+    cfg = PTEQConfig(engine="fused", max_steps=3 * max_steps, window=600,
+                     iters=2)
     PTEQ(spec, states, 0.15, cfg)  # compile
     best = 0.0
     for rep in range(2):

@@ -53,7 +53,16 @@ class PTEQConfig:
     p_logical: float = 0.5
     window: int = 100
     conv_criteria: str = "error_based"
-    engine: str = "literal"  # literal (reference cadence) | sweep (TPU-fast)
+    # literal (reference cadence) | sweep (TPU-fast, XLA) | fused (whole
+    # window in one Pallas VMEM kernel — fastest; requires TPU, zero-beta
+    # top rung and no track_shortest, else falls back to sweep)
+    engine: str = "literal"
+    # energy-trace coarsening: the device returns per-chunk means instead
+    # of per-step energies (the felkriteriet quarter means are unchanged at
+    # chunk resolution; fetching per-step traces over the remote-TPU tunnel
+    # dominates the host loop).  Forced to 1 when track_shortest needs
+    # per-step energies.  Must divide ``window``.
+    energy_chunk: int = 4
     # batch compaction: once >= 3/4 of the current device batch has
     # converged, repack the stragglers into the next power-of-two bucket so
     # converged syndromes stop consuming device time.  Each new bucket
@@ -83,13 +92,39 @@ _WINDOW_CACHE = {}
 def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    track_shortest: bool = False,
                    top_exact_accept: bool = False):
+    C = 1 if track_shortest else cfg.energy_chunk
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept)
+           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept, C)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
+    engine = cfg.engine
+    if engine == "fused":
+        if (jax.default_backend() == "tpu" and not track_shortest
+                and top_exact_accept):
+            from ..ops.pallas_ladder import make_pallas_ladder_window
+
+            fused = make_pallas_ladder_window(
+                spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
+                cfg.tops_burn, batch_tile=128, energy_chunk=C,
+            )
+
+            def window_fused(ls: LadderState, rkey, betas, eq_count,
+                             since_burn, weights):
+                seed = jax.random.randint(rkey, (), 0, 2**31 - 1)
+                st, fl, tp, eq, sb, en, ba, bf = fused(
+                    ls.state, ls.flag, ls.tops0, eq_count, since_burn,
+                    seed, betas, weights,
+                )
+                return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp)
+
+            fn = jax.jit(window_fused, donate_argnums=(0,))
+            _WINDOW_CACHE[key] = fn
+            return fn
+        engine = "sweep"  # fallback: same math, unfused
+
     ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical,
-                                   engine=cfg.engine,
+                                   engine=engine,
                                    top_exact_accept=top_exact_accept)
     if track_shortest:
         from ..ops.pauli import make_hash_mults, pack_key
@@ -127,8 +162,12 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
         burned = outs[1]  # (W, B)
         burn_any = jnp.any(burned > 0, axis=0)
         burn_first = jnp.argmax(burned > 0, axis=0).astype(jnp.int32)
+        energies = outs[0]  # (W, B)
+        if C > 1:
+            W_, B_ = energies.shape
+            energies = energies.reshape(W_ // C, C, B_).mean(axis=1)
         extras = tuple(outs[2:]) if track_shortest else ()
-        return (ls, eq_count, since_burn, outs[0], burn_any, burn_first,
+        return (ls, eq_count, since_burn, energies, burn_any, burn_first,
                 ls.tops0) + extras
 
     fn = jax.jit(window, donate_argnums=(0,))
@@ -191,6 +230,13 @@ def pteq_run(
     sh_unique = [[set() for _ in range(K)] for _ in range(B)]
 
     steps_done = 0
+    # energy-trace resolution: the device returns per-chunk means (C steps
+    # per row); all cum/quarter-mean indices below are in chunk units
+    C = 1 if track_shortest else cfg.energy_chunk
+    if cfg.window % C != 0:
+        raise ValueError(
+            f"window ({cfg.window}) must be divisible by energy_chunk ({C})"
+        )
     n_windows = max(1, cfg.max_steps // cfg.window)
     for w in range(n_windows):
         key, k = jax.random.split(key)
@@ -199,9 +245,10 @@ def pteq_run(
         # one bundled device->host round trip per window (the remote-TPU
         # tunnel makes each separate fetch expensive)
         fetch = jax.device_get(out[3:] + (since_burn, eq_count))
-        energies = fetch[0]  # (W, B)
+        energies = fetch[0]  # (W // C, B) chunk means
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
-        W = energies.shape[0]
+        Wc = energies.shape[0]
+        W = Wc * C
         if track_shortest:
             eq_trace, key_trace = fetch[4], fetch[5]  # (W, Br), (W, Br, 2)
             for t in range(W):
@@ -226,14 +273,14 @@ def pteq_run(
         if newly.any():
             burn_start[newly] = steps_done + burn_first[newly]
         steps_done += W
-        if cum_rows + W > cum.shape[0]:
-            grown = np.zeros((max(2 * cum.shape[0], cum_rows + W), Br))
+        if cum_rows + Wc > cum.shape[0]:
+            grown = np.zeros((max(2 * cum.shape[0], cum_rows + Wc), Br))
             grown[:cum_rows] = cum[:cum_rows]
             cum = grown
-        cum[cum_rows : cum_rows + W] = cum[cum_rows - 1] + np.cumsum(
+        cum[cum_rows : cum_rows + Wc] = cum[cum_rows - 1] + np.cumsum(
             energies, axis=0
         )
-        cum_rows += W
+        cum_rows += Wc
 
         if cfg.conv_criteria == "error_based":
             cumsum = cum[:cum_rows]
@@ -244,7 +291,7 @@ def pteq_run(
             active = ~conv_r & (tops_now >= cfg.TOPS) & (burn_start >= 0)
             if active.any():
                 accept = error_based_accept(
-                    cumsum, np.maximum(burn_start, 0), sb, cfg.eps
+                    cumsum, np.maximum(burn_start, 0) // C, sb // C, cfg.eps
                 )
                 # streak bookkeeping (decoders.py:74-82) at window cadence
                 start_streak = accept & ~in_streak
