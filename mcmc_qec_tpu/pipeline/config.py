@@ -39,7 +39,10 @@ class RunConfig:
     # --- TPU-native additions ---
     batch: int = 64  # syndromes decoded per device step
     seed: int = 0
-    engine: str = "literal"  # literal (reference cadence) | sweep | pallas
+    # literal (reference cadence) | sweep (XLA colored sweep) | pallas
+    # (Pallas sweep kernel for counting decoders) | fused (PTEQ only:
+    # whole PT window in one Pallas VMEM kernel — fastest on TPU)
+    engine: str = "literal"
     max_steps: int = 200_000  # PTEQ step cap per batch
     window: int = 200  # PTEQ device window
     checkpoint_every: int = 50  # datapoints between checkpoints
