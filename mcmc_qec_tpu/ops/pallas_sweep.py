@@ -38,20 +38,32 @@ def make_pallas_sweep(
 ):
     """``fn(states (B, nq) uint8, seed int32, betas (3,) f32) -> states``.
 
-    B must be a multiple of ``batch_tile``.
+    The batch is padded/packed automatically; any B works.
+
+    Small codes (nq <= 64) pack ``n_pack = 128 // round_up(nq, 32)``
+    independent chains side by side in each 128-lane row: the bitplane
+    elementwise work is position-independent, and the per-color stabilizer
+    contractions become block-diagonal selector matmuls, so the VPU lanes
+    and MXU output tiles that padding would waste instead advance more
+    chains (~2x measured at d=5, 4 chains/row at d=3).
     """
     tables = _color_tables(spec)
     nq = spec.nq
-    nq_pad = _round_up(nq, 128)
+    inner = _round_up(nq, 32)
+    n_pack = max(1, 128 // inner)
+    nq_pad = _round_up(n_pack * inner, 128)
     n_colors = len(tables)
     W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
-    sel_all = np.zeros((n_colors, W_pad, nq_pad), np.float32)
+    W_out = n_pack * W_pad
+    sel_all = np.zeros((n_colors, W_out, nq_pad), np.float32)
     xop_all = np.zeros((n_colors, 1, nq_pad), np.float32)
     zop_all = np.zeros((n_colors, 1, nq_pad), np.float32)
     for c, (sel, xop, zop) in enumerate(tables):
-        sel_all[c, : sel.shape[0], :nq] = sel
-        xop_all[c, 0, :nq] = xop
-        zop_all[c, 0, :nq] = zop
+        for j in range(n_pack):
+            sel_all[c, j * W_pad : j * W_pad + sel.shape[0],
+                    j * inner : j * inner + nq] = sel
+            xop_all[c, 0, j * inner : j * inner + nq] = xop
+            zop_all[c, 0, j * inner : j * inner + nq] = zop
 
     def kernel(seed_ref, betas_ref, sel_ref, xop_ref, zop_ref, *rest):
         if interpret:
@@ -137,29 +149,39 @@ def make_pallas_sweep(
 
     def raw(states: jax.Array, seed: jax.Array, betas: jax.Array) -> jax.Array:
         """Traceable (non-jit) form for embedding in larger programs; the
-        batch axis is padded to a multiple of the tile automatically."""
+        batch axis is padded/packed to tile multiples automatically."""
         B0 = states.shape[0]
-        B = _round_up(B0, batch_tile)
-        padded = jnp.zeros((B, nq_pad), jnp.uint8).at[:B0, :nq].set(states)
+        rows = _round_up(-(-B0 // n_pack), batch_tile)
+        chains = jnp.zeros((rows * n_pack, nq), jnp.uint8).at[:B0].set(states)
+        packed = (
+            jnp.zeros((rows, n_pack, inner), jnp.uint8)
+            .at[:, :, :nq]
+            .set(chains.reshape(rows, n_pack, nq))
+        )
+        padded = (
+            jnp.zeros((rows, nq_pad), jnp.uint8)
+            .at[:, : n_pack * inner]
+            .set(packed.reshape(rows, n_pack * inner))
+        )
         seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
         betas2 = jnp.asarray(betas, jnp.float32).reshape(1, 3)
         extra_in_specs = []
         extra_args = []
         if interpret:
             k = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
-            n_tiles = B // batch_tile
+            n_tiles = rows // batch_tile
             # a leading tile axis + index_map gives every grid tile its own
             # uniforms (a shared tensor would correlate tiles)
             logu = jnp.log(
                 jax.random.uniform(
                     k,
-                    (n_tiles, n_sweeps, n_colors, batch_tile, W_pad),
+                    (n_tiles, n_sweeps, n_colors, batch_tile, W_out),
                     minval=1e-12,
                 )
             )
             extra_in_specs = [
                 pl.BlockSpec(
-                    (1, n_sweeps, n_colors, batch_tile, W_pad),
+                    (1, n_sweeps, n_colors, batch_tile, W_out),
                     lambda i: (i, 0, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -167,8 +189,8 @@ def make_pallas_sweep(
             extra_args = [logu]
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((B, nq_pad), jnp.uint8),
-            grid=(B // batch_tile,),
+            out_shape=jax.ShapeDtypeStruct((rows, nq_pad), jnp.uint8),
+            grid=(rows // batch_tile,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -188,6 +210,10 @@ def make_pallas_sweep(
             interpret=interpret,
         )(seed2, betas2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), *extra_args, padded)
-        return out[:B0, :nq]
+        return (
+            out[:, : n_pack * inner]
+            .reshape(rows, n_pack, inner)[:, :, :nq]
+            .reshape(rows * n_pack, nq)[:B0]
+        )
 
     return jax.jit(raw), raw
