@@ -38,3 +38,21 @@ def test_pallas_sweep_stationary(family, d):
     assert np.array_equal(
         np_syndrome(spec, final), np.tile(np_syndrome(spec, state0), (len(final), 1))
     )
+
+
+def test_pallas_sweep_ragged_batch():
+    """Batch sizes that are no multiple of (batch_tile * n_pack) must round
+    -trip through the chain-packed layout: syndromes preserved, padding
+    chains dropped."""
+    spec = get_spec("toric", 3)  # nq=18 -> 4 chains packed per 128-lane row
+    rng = np.random.RandomState(11)
+    states0 = (
+        rng.randint(0, 4, (37, spec.nq)) * (rng.rand(37, spec.nq) < 0.2)
+    ).astype(np.uint8) * spec.valid_mask
+    fn, _ = make_pallas_sweep(spec, n_sweeps=3, batch_tile=8, interpret=True)
+    out = np.asarray(
+        fn(jnp.asarray(states0), 7, jnp.asarray(betas_xyz(0.1, 0.1, 0.1), jnp.float32))
+    )
+    assert out.shape == states0.shape
+    assert np.array_equal(np_syndrome(spec, out), np_syndrome(spec, states0))
+    assert not np.array_equal(out, states0)  # the chains actually moved
