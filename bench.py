@@ -171,6 +171,11 @@ def main():
             extra["pallas_d9"] = round(bench_pallas(d=9), 1)
     except Exception as e:  # pragma: no cover
         extra["pallas_d9_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.92:
+            extra["pallas_d13"] = round(bench_pallas(d=13, batch=16384), 1)
+    except Exception as e:  # pragma: no cover
+        extra["pallas_d13_error"] = str(e)[:200]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
         "value": round(value, 1),
