@@ -61,7 +61,7 @@ def cmd_generate(args) -> int:
                 # re-derive the default budget for the grid's size
                 # (generate_data.py:295 recomputes steps per size)
                 cfg.steps = int(5 * cfg.size**5)
-    ds = generate(args.out, cfg, nbr_datapoints=args.n)
+    ds = generate(args.out, cfg, nbr_datapoints=args.n, append=args.append)
     print(f"wrote {len(ds)} points to {args.out}")
     return 0
 
@@ -129,6 +129,10 @@ def main(argv=None) -> int:
     g.add_argument("-n", type=int, default=100, help="datapoints")
     g.add_argument("--task-id", type=int, default=None,
                    help="grid task index (e.g. $SLURM_ARRAY_TASK_ID)")
+    g.add_argument("--append", action="store_true",
+                   help="extend an existing dataset at --out up to -n total "
+                        "points (the noise-models driver's capacity-capped "
+                        "resume, generate_data_noise_models.py:27-46)")
     g.add_argument("--p-min", type=float, default=0.01)
     g.add_argument("--p-max", type=float, default=0.4)
     g.add_argument("--p-points", type=int, default=10)

@@ -167,15 +167,19 @@ def z_direct_count(
     betas_error: jax.Array,
     shortest_only: bool = False,
     valid: Optional[jax.Array] = None,
+    with_shortest: bool = False,
 ) -> jax.Array:
     """log Z_E = logsumexp over unique chains of -beta_err . n_xyz.
 
     Implements STDC's Boltzmann sum (decoders.py:317-318, 406-417); with
     ``shortest_only`` only chains within ~1e-5 of the minimal weighted
-    length contribute (decoders.py:413-414).  ``valid`` (same leading shape
-    as the sample axis) restricts counting to un-masked samples (the
-    conv_mult early-stop rule).  Vectorized over leading axes; returns
-    log Z (...,).
+    length contribute (decoders.py:413-414).  ``with_shortest`` returns
+    *both* reductions, (log Z, log Z_shortest), from the single sorted
+    stream — the reference computes both Z's from one sample stream
+    (decoders.py:490-505), so one sampler pass suffices.  ``valid`` (same
+    leading shape as the sample axis) restricts counting to un-masked
+    samples (the conv_mult early-stop rule).  Vectorized over leading axes;
+    returns log Z (...,) (or a pair of them with ``with_shortest``).
     """
 
     def one(keys, n_xyz, v):
@@ -191,13 +195,20 @@ def z_direct_count(
             ((k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1))).at[0].set(True)
             & (vs == 1)
         )
-        if shortest_only:
+
+        def reduce(mask):
+            neg = -w
+            m = jnp.max(jnp.where(mask, neg, -jnp.inf))
+            s = jnp.sum(jnp.where(mask, jnp.exp(neg - m), 0.0))
+            return m + jnp.log(s)
+
+        if shortest_only or with_shortest:
             wmin = jnp.min(jnp.where(first, w, jnp.inf))
-            first = first & jnp.isclose(w, wmin, rtol=1e-5, atol=1e-8)
-        neg = -w
-        m = jnp.max(jnp.where(first, neg, -jnp.inf))
-        s = jnp.sum(jnp.where(first, jnp.exp(neg - m), 0.0))
-        return m + jnp.log(s)
+            short = first & jnp.isclose(w, wmin, rtol=1e-5, atol=1e-8)
+            if with_shortest:
+                return reduce(first), reduce(short)
+            return reduce(short)
+        return reduce(first)
 
     flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
     flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
@@ -206,7 +217,10 @@ def z_direct_count(
     else:
         flat_valid = valid.reshape((-1, valid.shape[-1]))
     out = jax.vmap(one)(flat_keys, flat_nxyz, flat_valid)
-    return out.reshape(stream.keys.shape[:-2])
+    lead = stream.keys.shape[:-2]
+    if with_shortest:
+        return out[0].reshape(lead), out[1].reshape(lead)
+    return out.reshape(lead)
 
 
 class OccupancyStats(NamedTuple):

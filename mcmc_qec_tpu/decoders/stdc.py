@@ -37,8 +37,14 @@ from .counting import make_sampler, z_direct_count
 
 @functools.lru_cache(maxsize=None)
 def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
-                 shortest_only: bool, conv_mult: float = 0.0,
+                 shortest_mode: str, conv_mult: float = 0.0,
                  engine: str = "literal"):
+    """shortest_mode: "off" (full Z), "only" (shortest-truncated Z) or
+    "both" (full + shortest from one sampled stream, decoders.py:490-505).
+    Bools are accepted for backward compatibility (False="off", True="only").
+    """
+    if isinstance(shortest_mode, bool):
+        shortest_mode = "only" if shortest_mode else "off"
     iters = 5 if engine == "literal" else 1
     sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
 
@@ -69,11 +75,18 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
         # axis spans droplets x steps
         keys_ = stream.keys.reshape(B, K, droplets * steps, 2)
         nxyz = stream.n_xyz.reshape(B, K, droplets * steps, 3)
+        merged = SampleStream(keys_, nxyz)
 
-        logz = z_direct_count(SampleStream(keys_, nxyz), betas_error,
-                              shortest_only=shortest_only, valid=valid)  # (B, K)
         # normalized percentages via stable softmax (== Z/sum Z * 100,
         # decoders.py:322)
+        if shortest_mode == "both":
+            logz, logz_s = z_direct_count(merged, betas_error,
+                                          valid=valid, with_shortest=True)
+            return (jax.nn.softmax(logz, axis=-1) * 100.0,
+                    jax.nn.softmax(logz_s, axis=-1) * 100.0), logz
+        logz = z_direct_count(merged, betas_error,
+                              shortest_only=(shortest_mode == "only"),
+                              valid=valid)  # (B, K)
         distr = jax.nn.softmax(logz, axis=-1) * 100.0
         return distr, logz
 
@@ -92,8 +105,10 @@ def stdc_run(
     seed: int = 0,
     conv_mult: float = 0.0,
     engine: str = "literal",
+    shortest_mode: Optional[str] = None,
 ):
-    fn = _get_stdc_fn(spec, droplets, steps, randomize, shortest_only,
+    mode = shortest_mode or ("only" if shortest_only else "off")
+    fn = _get_stdc_fn(spec, droplets, steps, randomize, mode,
                       conv_mult, engine)
     key = jax.random.PRNGKey(seed)
     distr, logz = fn(
@@ -102,6 +117,8 @@ def stdc_run(
         jnp.asarray(betas_sampling, jnp.float32),
         jnp.asarray(betas_error, jnp.float32),
     )
+    if mode == "both":
+        return (np.asarray(distr[0]), np.asarray(distr[1])), np.asarray(logz)
     return np.asarray(distr), np.asarray(logz)
 
 
@@ -146,19 +163,12 @@ def STDC(
     return distr
 
 
-def STDC_general_noise(
-    spec: CodeSpec,
-    init_states: np.ndarray,
-    p_xyz: np.ndarray,
-    p_sampling=None,
-    droplets: int = 10,
-    steps: int = 20000,
-    shortest_only: bool = False,
-    seed: int = 0,
-) -> np.ndarray:
-    """General-noise STDC (decoders.py:345-432).  ``p_sampling`` may be a
-    scalar (depolarizing sampling chain) or a length-3 array (xyz sampling
-    chain), matching the reference's Chain/Chain_xyz dispatch."""
+def _general_noise_betas(p_xyz, p_sampling):
+    """(betas_sampling, betas_error) for the general-noise variants.
+
+    ``p_sampling`` may be a scalar (depolarizing sampling chain) or a
+    length-3 array (xyz sampling chain), matching the reference's
+    Chain/Chain_xyz dispatch (decoders.py:351-354)."""
     if p_sampling is None:
         p_sampling = float(np.sum(p_xyz))
     if np.ndim(p_sampling) == 0:
@@ -170,6 +180,21 @@ def STDC_general_noise(
     with np.errstate(divide="ignore"):
         be = -np.log((p_xyz / 3.0) / (1.0 - p_xyz))
     be = np.where(np.isfinite(be), be, 1e30)
+    return bs, be
+
+
+def STDC_general_noise(
+    spec: CodeSpec,
+    init_states: np.ndarray,
+    p_xyz: np.ndarray,
+    p_sampling=None,
+    droplets: int = 10,
+    steps: int = 20000,
+    shortest_only: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """General-noise STDC (decoders.py:345-432)."""
+    bs, be = _general_noise_betas(p_xyz, p_sampling)
     # the reference never rains the general-noise chains (decoders.py:365-376
     # sets randomize=False in both init branches)
     seeds = _class_seeds(spec, init_states)
@@ -188,13 +213,14 @@ def STDC_general_noise_shortest(
     steps: int = 20000,
     seed: int = 0,
 ):
-    """Returns (full distribution, shortest-only distribution)
-    (decoders.py:435-508)."""
-    full = STDC_general_noise(
-        spec, init_states, p_xyz, p_sampling, droplets, steps, False, seed
-    )
-    short = STDC_general_noise(
-        spec, init_states, p_xyz, p_sampling, droplets, steps, True, seed
+    """Returns (full distribution, shortest-only distribution), both reduced
+    from ONE sampled stream — exactly the reference's single-pass structure
+    (decoders.py:490-505: both Z's come from the same samples dict)."""
+    bs, be = _general_noise_betas(p_xyz, p_sampling)
+    seeds = _class_seeds(spec, init_states)
+    (full, short), _ = stdc_run(
+        spec, seeds, bs, be, droplets, steps, False, seed=seed,
+        shortest_mode="both",
     )
     return full, short
 

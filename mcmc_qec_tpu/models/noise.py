@@ -88,6 +88,24 @@ def sample_depolarizing(
     return sample_xyz(key, spec, p3, p3, p3, batch)
 
 
+def known_error(spec: CodeSpec) -> np.ndarray:
+    """Fixed deterministic error injection — the reference's
+    regression-reproduction hook (``generate_known_error``,
+    rotated_surface_model.py:79-82: X at (2,2) and (1,0);
+    xzzx_model.py:31-34: X at (0,1) and (1,1)).  Returns a flat (nq,) state.
+    """
+    if spec.family not in ("rotated", "xzzx"):
+        raise ValueError(
+            "known_error exists only for rotated/xzzx codes "
+            "(as in the reference)"
+        )
+    pos = {"rotated": [(2, 2), (1, 0)], "xzzx": [(0, 1), (1, 1)]}[spec.family]
+    state = np.zeros(spec.state_shape, dtype=np.uint8)
+    for r, c in pos:
+        state[r, c] = 1
+    return state.reshape(-1)
+
+
 def sample_n_random_errors(key: jax.Array, spec: CodeSpec, n: int) -> jax.Array:
     """Exactly n errors with uniform Pauli at random positions
     (toric_model.py:26-32); positions are drawn from *valid* cells only so

@@ -10,6 +10,14 @@
 // transformed weights W = OFFSET - w for a large OFFSET, which forces
 // maximum cardinality first (perfect when one exists) and minimum total
 // weight among those.
+//
+// Algorithmic lineage: the primal-dual skeleton (st_/lab_/flower_from_/
+// get_pr slot structure) follows the well-known public O(n^3) general-graph
+// maximum-weight matching template from the competitive-programming
+// literature (an implementation of Edmonds' blossom algorithm with integral
+// duals on doubled weights, as described in Galil's 1986 survey), adapted
+// here with the min-weight transform, a C API and no global state.  It is
+// validated against brute-force enumeration in tests/test_matching.py.
 
 #include <algorithm>
 #include <cstring>

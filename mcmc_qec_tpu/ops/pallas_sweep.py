@@ -85,7 +85,10 @@ def make_pallas_sweep(
         def one_sweep(t, planes):
             b0, b1 = planes
             for c in range(n_colors):
-                sel = sel_ref[c]  # (W_pad, nq_pad)
+                # after chain packing the selector block is block-diagonal
+                # over the n_pack chains in a row: (W_out, nq_pad) with
+                # W_out = n_pack * W_pad
+                sel = sel_ref[c]  # (W_out, nq_pad)
                 xop = xop_ref[c]  # (1, nq_pad)
                 zop = zop_ref[c]
                 nb0 = fxor(b0, xop)
@@ -106,7 +109,7 @@ def make_pallas_sweep(
                               preferred_element_type=jnp.float32)
                 dn3 = jnp.dot(d3.astype(jnp.bfloat16), selT_bf,
                               preferred_element_type=jnp.float32)
-                logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_pad)
+                logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_out)
                 if interpret:
                     logu = logu_ref[0, t, c]
                 else:

@@ -105,6 +105,22 @@ def evaluate_submethods(ds: Dataset) -> Dict[str, EvalResult]:
         blocks = {"ST": (0, "argmin"), "STDC": (1, "argmax"), "STRC": (2, "argmax")}
     elif cfg.method == "uncorrelated_comparison":
         blocks = {"MWPM": (0, "argmax"), "STDC": (1, "argmax")}
+    elif cfg.method == "shortest_comparison":
+        # the four per-block rates of plot_uncorrelated.py:149-197
+        blocks = {
+            "stdc_depol": (0, "argmax"),
+            "stdc_depol_short": (1, "argmax"),
+            "stdc_uncorr": (2, "argmax"),
+            "stdc_uncorr_short": (3, "argmax"),
+        }
+    elif cfg.method == "PTEQ_with_shortest":
+        # PT counting, shortest-chain Boltzmann, shortest-count
+        # (decoders_biasednoise.py:163-172)
+        blocks = {
+            "PTEQ": (0, "argmax"),
+            "shortest_boltzmann": (1, "argmax"),
+            "shortest_count": (2, "argmax"),
+        }
     else:
         return {cfg.method: evaluate_dataset(ds)}
     out = {}

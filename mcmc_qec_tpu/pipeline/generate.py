@@ -142,6 +142,24 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         distr = np.concatenate([d1, d2, d3], axis=1).astype(np.float32)
         K = spec.n_classes
         return distr, lambda d: int(np.argmax(d[K : 2 * K]))
+    if method == "shortest_comparison":
+        # four blocks: STDC depolarizing, its shortest-only truncation,
+        # STDC uncorrelated and ITS shortest-only truncation — the dataset
+        # plot_uncorrelated.py:149-197 (success_rates_shortest) scores.
+        # Each pair comes from ONE sampled stream (decoders.py:490-505).
+        from ..decoders import STDC_general_noise_shortest
+
+        p3 = np.full(3, cfg.p_error / 3.0)
+        d1, d1s = STDC_general_noise_shortest(
+            spec, init, p3, cfg.p_sampling, cfg.droplets, cfg.steps,
+            seed=seed,
+        )
+        d2, d2s = STDC_general_noise_shortest(
+            spec, init, uncorrelated_p_xyz(cfg.p_error), cfg.p_sampling,
+            cfg.droplets, cfg.steps, seed=seed + 1_000_003,
+        )
+        distr = np.concatenate([d1, d1s, d2, d2s], axis=1).astype(np.float32)
+        return distr, lambda d: int(np.argmax(d[: spec.n_classes]))
     if method == "uncorrelated_comparison":
         # MWPM one-hot + STDC_general_noise; failures scored on the STDC
         # part (generate_data_noise_models.py:141-153)

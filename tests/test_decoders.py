@@ -238,6 +238,25 @@ def test_stdc_handles_zero_probability_pauli():
     assert abs(distr.sum() - 100) < 1.0
 
 
+def test_stdc_shortest_single_stream_matches_two_pass():
+    """STDC_general_noise_shortest reduces BOTH distributions from one
+    sampled stream (decoders.py:490-505); with the same seed it must equal
+    the two independent shortest_only=False/True reductions exactly."""
+    from mcmc_qec_tpu.decoders import STDC_general_noise_shortest
+
+    spec, s0 = _syndrome_state("planar", 3, p=0.08, seed=3)
+    p_xyz = np.array([0.04, 0.02, 0.06])
+    kw = dict(p_sampling=0.25, droplets=2, steps=1200, seed=7)
+    full, short = STDC_general_noise_shortest(spec, s0[None], p_xyz, **kw)
+    full_ref = STDC_general_noise(spec, s0[None], p_xyz,
+                                  shortest_only=False, **kw)
+    short_ref = STDC_general_noise(spec, s0[None], p_xyz,
+                                   shortest_only=True, **kw)
+    assert np.allclose(full, full_ref, atol=1e-4)
+    assert np.allclose(short, short_ref, atol=1e-4)
+    assert abs(full.sum() - 100) < 1.0 and abs(short.sum() - 100) < 1.0
+
+
 def test_exact_mld_matches_test_oracle():
     from mcmc_qec_tpu.decoders import exact_mld
 

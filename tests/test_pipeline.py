@@ -126,6 +126,62 @@ def test_evaluate_submethods():
         assert r.n_points == 3
 
 
+def test_shortest_comparison_method_and_submethods():
+    from mcmc_qec_tpu.pipeline import evaluate_submethods
+
+    cfg = RunConfig(code="planar", method="shortest_comparison", size=3,
+                    p_error=0.08, p_sampling=0.25, droplets=2, steps=400,
+                    batch=3)
+    ds = generate(None, cfg, 3, progress=None)
+    assert ds.distributions.shape == (3, 16)  # 4 blocks x 4 classes
+    res = evaluate_submethods(ds)
+    assert set(res) == {"stdc_depol", "stdc_depol_short", "stdc_uncorr",
+                        "stdc_uncorr_short"}
+    for r in res.values():
+        assert r.n_points == 3
+
+
+def test_pteq_with_shortest_submethods():
+    from mcmc_qec_tpu.pipeline import evaluate_submethods
+
+    cfg = RunConfig(code="xzzx", method="PTEQ_with_shortest", size=3,
+                    noise="alpha", p_error=0.10, alpha=1.5, Nc=3,
+                    max_steps=600, window=100, batch=2, iters=2)
+    ds = generate(None, cfg, 2, progress=None)
+    assert ds.distributions.shape == (2, 12)  # 3 blocks x 4 classes
+    res = evaluate_submethods(ds)
+    assert set(res) == {"PTEQ", "shortest_boltzmann", "shortest_count"}
+
+
+def test_known_error():
+    from mcmc_qec_tpu.models import np_syndrome
+    from mcmc_qec_tpu.models.noise import known_error
+
+    for family, pos in (("rotated", [(2, 2), (1, 0)]),
+                        ("xzzx", [(0, 1), (1, 1)])):
+        spec = get_spec(family, 5)
+        state = known_error(spec)
+        grid = state.reshape(spec.state_shape)
+        assert all(grid[r, c] == 1 for r, c in pos)
+        assert (grid != 0).sum() == 2
+        assert np_syndrome(spec, state).any()  # nontrivial syndrome
+    with pytest.raises(ValueError):
+        known_error(get_spec("toric", 5))
+
+
+def test_cli_append(tmp_path):
+    from mcmc_qec_tpu.cli import main
+
+    out = str(tmp_path / "cli_append.npz")
+    base = ["generate", "--code", "planar", "--method", "STDC", "--size",
+            "3", "--p-error", "0.08", "--p-sampling", "0.25", "--droplets",
+            "1", "--steps", "300", "--batch", "2", "--out", out]
+    assert main(base + ["-n", "2"]) == 0
+    assert main(base + ["-n", "4", "--append"]) == 0
+    ds = Dataset.load(out)
+    assert len(ds) == 4
+
+
 def test_mcmc_data_reader_and_append(tmp_path):
     from mcmc_qec_tpu.pipeline import MCMCDataReader
 
