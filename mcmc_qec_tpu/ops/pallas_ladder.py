@@ -57,6 +57,7 @@ def make_pallas_ladder_window(
     tops_burn: int,
     batch_tile: int = 256,
     energy_chunk: int = 1,
+    interpret: bool = False,
 ):
     """Build ``fn(state, flag, tops0, eq_count, since_burn, seed, betas,
     weights)`` running one fused PTEQ window.
@@ -72,6 +73,14 @@ def make_pallas_ladder_window(
     trace on device (the host convergence check needs only windowed means;
     fetching per-step traces over the remote-TPU tunnel dominates the host
     loop otherwise).
+
+    ``interpret`` runs the kernel through the TPU interpreter
+    (pltpu.InterpretParams) so the full fused dataflow executes on CPU —
+    used by the multi-device shard_map tests and dryrun_multichip.  The
+    interpreter stubs prng_random_bits to zeros, so interpret runs validate
+    shapes/dataflow/sharding and syndrome-preservation invariants, not
+    statistics (the statistical check is the on-TPU test in
+    tests/test_pallas_ladder.py).
     """
     assert window % energy_chunk == 0
     n_chunks = window // energy_chunk
@@ -411,6 +420,7 @@ def make_pallas_ladder_window(
                 jax.ShapeDtypeStruct((1, B), jnp.int32),
                 jax.ShapeDtypeStruct((1, B), jnp.int32),
             ],
+            interpret=pltpu.InterpretParams() if interpret else False,
         )(seed2, betas2, w2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), jnp.asarray(AB), jnp.asarray(DRW),
           st, fl, tp, eq, sb)

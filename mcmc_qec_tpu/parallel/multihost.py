@@ -25,9 +25,23 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = "gloo",
 ) -> None:
     """Initialize jax.distributed (no-op when already initialized or when
-    environment auto-detection applies, e.g. TPU pods)."""
+    environment auto-detection applies, e.g. TPU pods).
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation; ``cpu_collectives`` selects it (gloo ships with jax).
+    This is what makes the multi-process paths testable without a pod —
+    see tests/test_multiprocess.py."""
+    if cpu_collectives is not None:
+        try:
+            if jax.config.jax_platforms == "cpu":
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", cpu_collectives
+                )
+        except Exception:
+            pass  # backend already initialized or unknown implementation
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
