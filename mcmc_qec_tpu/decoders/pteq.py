@@ -54,8 +54,9 @@ class PTEQConfig:
     window: int = 100
     conv_criteria: str = "error_based"
     # literal (reference cadence) | sweep (TPU-fast, XLA) | fused (whole
-    # window in one Pallas VMEM kernel — fastest; requires TPU, zero-beta
-    # top rung and no track_shortest, else falls back to sweep)
+    # window in one Pallas VMEM kernel — fastest; requires TPU and no
+    # track_shortest, else falls back to sweep; any beta ladder incl.
+    # biased nonzero-top rungs)
     engine: str = "literal"
     # energy-trace coarsening: the device returns per-chunk means instead
     # of per-step energies (the felkriteriet quarter means are unchanged at
@@ -70,6 +71,14 @@ class PTEQConfig:
     # number of buckets.  compact=False pins the original batch shape.
     compact: bool = True
     min_compact: int = 128
+    # exact mid-decode checkpoint/resume: with ckpt_dir set, the full run
+    # state (ladder, accumulators, convergence automaton, PRNG key, row
+    # map) is snapshotted every ckpt_every windows and a preempted run
+    # resumes bit-identically from the latest snapshot.  The reference only
+    # checkpoints pipeline *outputs* (generate_data.py:251-256) — chain
+    # state and RNG are lost on preemption there.
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 25
 
 
 @dataclasses.dataclass
@@ -100,8 +109,9 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
 
     engine = cfg.engine
     if engine == "fused":
-        if (jax.default_backend() == "tpu" and not track_shortest
-                and top_exact_accept):
+        # the fused kernel's top-rung logical mix is a general Metropolis
+        # accept, so nonzero top betas (PTEQ_biased ladders) run fused too
+        if jax.default_backend() == "tpu" and not track_shortest:
             from ..ops.pallas_ladder import make_pallas_ladder_window
 
             fused = make_pallas_ladder_window(
@@ -238,7 +248,74 @@ def pteq_run(
             f"window ({cfg.window}) must be divisible by energy_chunk ({C})"
         )
     n_windows = max(1, cfg.max_steps // cfg.window)
-    for w in range(n_windows):
+
+    # --- exact mid-decode checkpoint/resume --------------------------------
+    ckpt = None
+    w0 = 0
+    if cfg.ckpt_dir:
+        if track_shortest:
+            raise ValueError(
+                "ckpt_dir is not supported with track_shortest (the "
+                "unique-shortest sets are host-side hash sets)"
+            )
+        from ..utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.ckpt_dir)
+
+        def _snapshot_tree():
+            return {
+                "ls_state": np.asarray(ls.state),
+                "ls_flag": np.asarray(ls.flag),
+                "ls_tops0": np.asarray(ls.tops0),
+                "eq_count": np.asarray(eq_count),
+                "since_burn": np.asarray(since_burn),
+                "key": np.asarray(key),
+                "rows": rows,
+                "cum": cum[:cum_rows],
+                "burn_start": burn_start,
+                "conv_start": conv_start,
+                "in_streak": in_streak,
+                "converged": converged,
+                "snap_distr": snap_distr,
+                "snap_steps": snap_steps,
+                "snap_tops": snap_tops,
+                "steps_done": np.asarray(steps_done),
+                "buckets": np.asarray(buckets, dtype=np.int64),
+            }
+
+        restored, meta = ckpt.restore_latest(_snapshot_tree())
+        if restored is not None:
+            sig = (B, Nc, K, cfg.window, spec.family, spec.size)
+            if tuple(meta.get("sig", ())) != sig:
+                raise ValueError(
+                    f"checkpoint in {cfg.ckpt_dir} was written by a different"
+                    f" run: {meta.get('sig')} != {sig}"
+                )
+            ls = LadderState(
+                jnp.asarray(restored["ls_state"]),
+                jnp.asarray(restored["ls_flag"]),
+                jnp.asarray(restored["ls_tops0"]),
+            )
+            eq_count = jnp.asarray(restored["eq_count"])
+            since_burn = jnp.asarray(restored["since_burn"])
+            key = jnp.asarray(restored["key"])
+            rows = restored["rows"]
+            Br = len(rows)
+            cum_rows = restored["cum"].shape[0]
+            cum = np.zeros((max(cum_rows + 4 * cfg.window, 1), Br))
+            cum[:cum_rows] = restored["cum"]
+            burn_start = restored["burn_start"]
+            conv_start = restored["conv_start"]
+            in_streak = restored["in_streak"]
+            converged = restored["converged"]
+            snap_distr = restored["snap_distr"]
+            snap_steps = restored["snap_steps"]
+            snap_tops = restored["snap_tops"]
+            steps_done = int(restored["steps_done"])
+            buckets = [int(b) for b in restored["buckets"]]
+            w0 = int(meta["window_idx"]) + 1
+
+    for w in range(w0, n_windows):
         key, k = jax.random.split(key)
         out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
         ls, eq_count, since_burn = out[:3]
@@ -345,6 +422,16 @@ def pteq_run(
                     )
                     Br = new_Br
                     buckets.append(new_Br)
+
+        if ckpt is not None and (w + 1 - w0) % max(cfg.ckpt_every, 1) == 0:
+            ckpt.save(
+                w,
+                _snapshot_tree(),
+                {
+                    "sig": (B, Nc, K, cfg.window, spec.family, spec.size),
+                    "window_idx": w,
+                },
+            )
 
     # unconverged elements: snapshot at the end (with the reference's
     # "hit max steps" warning semantics, decoders.py:84-87)

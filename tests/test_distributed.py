@@ -108,10 +108,15 @@ def test_sharded_pallas_sweep_under_shard_map():
 
 
 def test_sharded_fused_ladder_under_shard_map():
-    """The fused PTEQ-window kernel executing under the 8-device mesh via
+    """The fused PTEQ-window kernel executing under a device mesh via
     shard_map (interpret mode on CPU: validates the full fused dataflow —
     sweeps, logical mixing, replica exchange, class readout — per shard;
-    statistics are TPU-tested in test_pallas_ladder.py)."""
+    statistics are TPU-tested in test_pallas_ladder.py).
+
+    Uses a 4-device sub-mesh: >4 concurrent emulated devices deadlock the
+    TPU interpreter's io_callback buffer allocation on small-CPU hosts
+    (threads block in np.array inside _allocate_buffer while the XLA CPU
+    thread pool is saturated); the compiled TPU path is unaffected."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -120,8 +125,8 @@ def test_sharded_fused_ladder_under_shard_map():
     from mcmc_qec_tpu.ops.pallas_ladder import make_pallas_ladder_window
 
     spec = get_spec("toric", 3)
-    mesh = make_mesh()
-    Nc, B, K = 3, 16, 16  # 2 syndromes per device
+    mesh = make_mesh(4)
+    Nc, B, K = 3, 8, 16  # 2 syndromes per device
     states = np.asarray(
         sample_depolarizing(jax.random.PRNGKey(5), spec, 0.1, (B,))
     )
@@ -149,7 +154,7 @@ def test_sharded_fused_ladder_under_shard_map():
         shard_batch(ls.tops0, mesh),
         shard_batch(jnp.zeros((B, K), jnp.int32), mesh),
         shard_batch(jnp.zeros((B,), jnp.int32), mesh),
-        shard_batch(np.arange(8, dtype=np.int32) * 7 + 1, mesh),
+        shard_batch(np.arange(4, dtype=np.int32) * 7 + 1, mesh),
     )
     st, fl, tp, eq, sb, en, ba, bf = [np.asarray(x) for x in out]
     assert st.shape == (B, Nc, spec.nq) and eq.shape == (B, K)
