@@ -47,6 +47,12 @@ class RunConfig:
     window: int = 200  # PTEQ device window
     checkpoint_every: int = 50  # datapoints between checkpoints
     #                             (generate_data.py:251)
+    # mid-decode resilience: with ckpt_dir set, PTEQ-family decodes
+    # snapshot their full sampler state (ladder, accumulators, PRNG) under
+    # ckpt_dir/batch_<offset>/ and a preempted generate() resumes the
+    # in-flight batch bit-identically (combine with the dataset checkpoint
+    # above + append=True for the completed batches)
+    ckpt_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.steps is None:

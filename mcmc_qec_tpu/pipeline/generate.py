@@ -101,6 +101,13 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         max_steps=cfg.max_steps, iters=cfg.iters, window=cfg.window,
         conv_criteria=cfg.conv_criteria,
         engine="sweep" if cfg.engine == "pallas" else cfg.engine,
+        # mid-decode resume: one checkpoint stream per batch offset so a
+        # preempted generate() resumes the in-flight batch exactly
+        ckpt_dir=(
+            f"{cfg.ckpt_dir}/batch_{seed}"
+            if cfg.ckpt_dir and method in ("PTEQ",)
+            else None
+        ),
     )
 
     if method == "PTEQ":
@@ -265,6 +272,14 @@ def generate(
         states = sample_errors(spec, cfg, k_err)[:n]
         eq_true = np_eq_class(spec, states)
         distr, decide = decode_batch(spec, cfg, states, cfg.seed + done)
+        if cfg.ckpt_dir:
+            # the batch finished: drop its mid-decode checkpoint stream so a
+            # later run with a changed config can't collide with it
+            import shutil
+
+            shutil.rmtree(
+                f"{cfg.ckpt_dir}/batch_{cfg.seed + done}", ignore_errors=True
+            )
         decisions = np.array([decide(d) for d in distr])
         failed += int((decisions != eq_true).sum())
         qms.append(states.reshape((n,) + spec.state_shape))
