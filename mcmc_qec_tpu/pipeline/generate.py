@@ -42,7 +42,10 @@ from ..decoders import (
     STRC,
     single_temp,
 )
-from ..matching import class_sorted_mwpm, regular_mwpm
+from ..matching import (
+    class_sorted_mwpm_batch,
+    regular_mwpm_batch,
+)
 from ..ops.pauli import random_logical
 from .config import RunConfig
 from .dataset import Dataset
@@ -85,10 +88,11 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
     method, noise = cfg.method, cfg.noise
     B = states.shape[0]
 
-    # warm start (generate_data.py:126-133)
+    # warm start (generate_data.py:126-133), thread-pooled across the batch
+    # so the host matcher doesn't starve the device at B >= 256
     if cfg.mwpm_init:
         assert spec.family == "planar", "mwpm_init requires the planar code"
-        init = np.stack([class_sorted_mwpm(spec, s) for s in states])  # (B,4,nq)
+        init = class_sorted_mwpm_batch(spec, states)  # (B,4,nq)
     else:
         key = jax.random.PRNGKey(seed ^ 0x5EED)
         init = np.asarray(random_logical(spec, jnp.asarray(states), key))
@@ -171,8 +175,7 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         # MWPM one-hot + STDC_general_noise; failures scored on the STDC
         # part (generate_data_noise_models.py:141-153)
         d1 = np.zeros((B, spec.n_classes), dtype=np.float32)
-        for b, s in enumerate(states):
-            d1[b, regular_mwpm(spec, s)] = 100.0
+        d1[np.arange(B), regular_mwpm_batch(spec, states)] = 100.0
         d2 = STDC_general_noise(
             spec, init, uncorrelated_p_xyz(cfg.p_error), cfg.p_sampling,
             cfg.droplets, cfg.steps, seed=seed,
@@ -217,15 +220,13 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
         # shortest total-length class among class-constrained solutions
         # (generate_data.py:210-220)
         out = np.zeros((B, spec.n_classes), dtype=np.float32)
-        for b, s in enumerate(states):
-            seeds_b = class_sorted_mwpm(spec, s)
-            lens = (seeds_b != 0).sum(axis=-1)
-            out[b, int(np.argmin(lens))] = 100.0
+        seeds_all = class_sorted_mwpm_batch(spec, states)  # (B, 4, nq)
+        lens = (seeds_all != 0).sum(axis=-1)
+        out[np.arange(B), lens.argmin(axis=1)] = 100.0
         return out, argmax
     if method == "MWPM":
         out = np.zeros((B, spec.n_classes), dtype=np.float32)
-        for b, s in enumerate(states):
-            out[b, regular_mwpm(spec, s)] = 100.0
+        out[np.arange(B), regular_mwpm_batch(spec, states)] = 100.0
         return out, argmax
     raise ValueError(f"unknown method {cfg.method!r}")
 

@@ -103,3 +103,30 @@ def test_enhanced_mwpm_all_models():
                           ("biased", {"p_xyz": np.array([0.02, 0.02, 0.1])})]:
             eq = enhanced_mwpm(spec, s, model=model, seed=0, **kw)
             assert 0 <= eq < 4
+
+
+def test_class_sorted_mwpm_batch_matches_sequential():
+    """Thread-pooled warm starts must equal the sequential loop exactly —
+    also exercises concurrent native solves (the matcher holds no shared
+    state across instances)."""
+    from mcmc_qec_tpu.matching import class_sorted_mwpm_batch
+
+    spec, states = _random_states("planar", 7, 0.12, 48, seed=3)
+    batched = class_sorted_mwpm_batch(spec, states, max_workers=8)
+    seq = np.stack([class_sorted_mwpm(spec, s) for s in states])
+    np.testing.assert_array_equal(batched, seq)
+    # every seed matches its syndrome and class
+    for b in range(len(states)):
+        syn = np_syndrome(spec, states[b])
+        for eq in range(4):
+            assert np.array_equal(np_syndrome(spec, batched[b, eq]), syn)
+            assert int(np_eq_class(spec, batched[b, eq])) == eq
+
+
+def test_regular_mwpm_batch_matches_sequential():
+    from mcmc_qec_tpu.matching import regular_mwpm_batch
+
+    spec, states = _random_states("planar", 5, 0.1, 32, seed=4)
+    batched = regular_mwpm_batch(spec, states, max_workers=8)
+    seq = np.array([regular_mwpm(spec, s) for s in states])
+    np.testing.assert_array_equal(batched, seq)
