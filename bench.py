@@ -106,11 +106,13 @@ def bench_stdc_decoder(d=5, B=1024, steps=450, droplets=4):
     return best, syn_rate
 
 
-def bench_pteq(B=512, max_steps=8000):
+def bench_pteq(B=2048, max_steps=8000):
     """PTEQ decoder throughput on hard syndromes (golden corpus when
     readable, synthetic p=0.15 errors otherwise): full parallel-tempering
     decode — ladder sweeps, replica exchange, burn-in, windowed
-    convergence — per wall second."""
+    convergence — per wall second.  B=2048 is the production shape (the
+    decoder is batched by design; most of the 2603-syndrome corpus decodes
+    in one device batch, amortizing the per-window host round trip)."""
     import os
     from mcmc_qec_tpu.models import get_spec
     from mcmc_qec_tpu.decoders.pteq import PTEQ, PTEQConfig
@@ -121,7 +123,8 @@ def bench_pteq(B=512, max_steps=8000):
         from mcmc_qec_tpu.pipeline.evaluate import load_golden_corpus
 
         _, flat, _ = load_golden_corpus(golden)
-        states = flat[:B]
+        states = np.concatenate([flat] * (B // len(flat) + 1))[:B] \
+            if B > len(flat) else flat[:B]
     else:
         from mcmc_qec_tpu.models.noise import sample_depolarizing
 
@@ -129,7 +132,7 @@ def bench_pteq(B=512, max_steps=8000):
             sample_depolarizing(jax.random.PRNGKey(0), spec, 0.15, (B,))
         )
     cfg = PTEQConfig(engine="fused", max_steps=3 * max_steps, window=600,
-                     iters=2)
+                     iters=2, energy_chunk=12)
     PTEQ(spec, states, 0.15, cfg)  # compile
     best = 0.0
     for rep in range(2):

@@ -41,7 +41,7 @@ def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int,
 
         def body(carry, k):
             ls = carry
-            ls, _, _ = ladder_step(ls, k, betas_ladder)
+            ls, _, _, _ = ladder_step(ls, k, betas_ladder)
             keys_ = pack_key(spec, ls.state, mults)  # (N, Nc, 2)
             nxyz = count_errors_xyz(ls.state)  # (N, Nc, 3)
             return ls, (keys_, nxyz)

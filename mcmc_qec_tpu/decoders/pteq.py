@@ -122,11 +122,11 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
             def window_fused(ls: LadderState, rkey, betas, eq_count,
                              since_burn, weights):
                 seed = jax.random.randint(rkey, (), 0, 2**31 - 1)
-                st, fl, tp, eq, sb, en, ba, bf = fused(
+                st, fl, tp, eq, sb, en, ba, bf, sw = fused(
                     ls.state, ls.flag, ls.tops0, eq_count, since_burn,
                     seed, betas, weights,
                 )
-                return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp)
+                return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp, sw)
 
             fn = jax.jit(window_fused, donate_argnums=(0,))
             _WINDOW_CACHE[key] = fn
@@ -150,21 +150,23 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
         """
 
         def body(carry, k):
-            ls, eq_count, since_burn = carry
-            ls, bottom_eq, n_xyz0 = ladder_step(ls, k, betas)
+            ls, eq_count, since_burn, swap_sum = carry
+            ls, bottom_eq, n_xyz0, swap_acc = ladder_step(ls, k, betas)
             burned = (ls.tops0 >= cfg.tops_burn).astype(jnp.int32)  # (B,)
             B = bottom_eq.shape[0]
             eq_count = eq_count.at[jnp.arange(B), bottom_eq].add(burned)
             since_burn = since_burn + burned
+            swap_sum = swap_sum + swap_acc  # (B, Nc-1) window accumulator
             energy = jnp.sum(weights * n_xyz0, axis=-1)  # (B,)
             out = (energy, burned)
             if track_shortest:
                 out = out + (bottom_eq, pack_key(spec, ls.state[:, 0], mults))
-            return (ls, eq_count, since_burn), out
+            return (ls, eq_count, since_burn, swap_sum), out
 
         keys = jax.random.split(rkey, cfg.window)
-        (ls, eq_count, since_burn), outs = jax.lax.scan(
-            body, (ls, eq_count, since_burn), keys
+        swap0 = jnp.zeros(eq_count.shape[:1] + (Nc - 1,), jnp.int32)
+        (ls, eq_count, since_burn, swap_sum), outs = jax.lax.scan(
+            body, (ls, eq_count, since_burn, swap0), keys
         )
         # compact summaries computed on device so the host fetches (B,)-sized
         # arrays, not (W, B) traces (the TPU is reached over a high-latency
@@ -178,7 +180,7 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
             energies = energies.reshape(W_ // C, C, B_).mean(axis=1)
         extras = tuple(outs[2:]) if track_shortest else ()
         return (ls, eq_count, since_burn, energies, burn_any, burn_first,
-                ls.tops0) + extras
+                ls.tops0, swap_sum) + extras
 
     fn = jax.jit(window, donate_argnums=(0,))
     _WINDOW_CACHE[key] = fn
@@ -194,8 +196,15 @@ def pteq_run(
     seed: int = 0,
     track_shortest: bool = False,
     shortest_beta: float = 0.0,
+    metrics=None,
 ) -> PTEQResult:
-    """Generic PTEQ engine over an explicit beta ladder."""
+    """Generic PTEQ engine over an explicit beta ladder.
+
+    ``metrics`` (a utils.metrics.MetricsLogger) opts into per-window
+    observability: replica-exchange acceptance per rung pair, tops0
+    round-trip rate, energy ESS of the window trace, converged count and
+    device-batch size — the SURVEY §5 metrics row the reference lacks
+    (its only observability is print(), generate_data.py:54,140)."""
     B = init_states.shape[0]
     Nc = beta_ladder.shape[0]
     K = spec.n_classes
@@ -324,10 +333,11 @@ def pteq_run(
         fetch = jax.device_get(out[3:] + (since_burn, eq_count))
         energies = fetch[0]  # (W // C, B) chunk means
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
+        swap_window = fetch[4]  # (Br, Nc-1) accepted swaps this window
         Wc = energies.shape[0]
         W = Wc * C
         if track_shortest:
-            eq_trace, key_trace = fetch[4], fetch[5]  # (W, Br), (W, Br, 2)
+            eq_trace, key_trace = fetch[5], fetch[6]  # (W, Br), (W, Br, 2)
             for t in range(W):
                 # burned before this window, or burned at step <= t within it
                 post_burn = (burn_start >= 0) | (burn_any & (burn_first <= t))
@@ -358,6 +368,30 @@ def pteq_run(
             energies, axis=0
         )
         cum_rows += Wc
+
+        if metrics is not None:
+            from ..utils.metrics import effective_sample_size
+
+            real = rows >= 0
+            ess = float(
+                np.mean(
+                    [effective_sample_size(energies[:, b])
+                     for b in np.nonzero(real)[0]]
+                )
+            ) if real.any() else 0.0
+            metrics.log(
+                "pteq_window",
+                window=w,
+                steps_done=steps_done,
+                swap_accept_rate=(
+                    swap_window[real].mean(axis=0) / W
+                ).tolist() if real.any() else [],
+                tops0_rate=float(tops_now[real].mean()) / max(steps_done, 1),
+                energy_ess_per_window=ess,
+                energy_mean=float(energies[:, real].mean()) if real.any() else 0.0,
+                converged=int(converged.sum()),
+                batch_rows=int(Br),
+            )
 
         if cfg.conv_criteria == "error_based":
             cumsum = cum[:cum_rows]
@@ -487,11 +521,13 @@ def PTEQ(
     p: float,
     cfg: PTEQConfig = PTEQConfig(),
     seed: int = 0,
+    metrics=None,
 ) -> PTEQResult:
     """Depolarizing PTEQ (decoders.py:25-89), batched over syndromes."""
     Nc = cfg.Nc or spec.size
     ladder = beta_ladder_depolarizing(p, Nc)
-    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed)
+    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed,
+                    metrics=metrics)
 
 
 def PTEQ_biased(
@@ -501,11 +537,13 @@ def PTEQ_biased(
     eta: float = 0.5,
     cfg: PTEQConfig = PTEQConfig(),
     seed: int = 0,
+    metrics=None,
 ) -> PTEQResult:
     """Biased-noise PTEQ (decoders_biasednoise.py:28-75)."""
     Nc = cfg.Nc or spec.size
     ladder = beta_ladder_biased(p, eta, Nc)
-    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed)
+    return pteq_run(spec, init_states, ladder, cfg, (1.0, 1.0, 1.0), seed,
+                    metrics=metrics)
 
 
 def PTEQ_alpha(
@@ -515,12 +553,14 @@ def PTEQ_alpha(
     alpha: float = 1.0,
     cfg: PTEQConfig = PTEQConfig(),
     seed: int = 0,
+    metrics=None,
 ) -> PTEQResult:
     """Alpha-noise PTEQ on effective length n_eff = n_z + alpha (n_x + n_y)
     (decoders_biasednoise.py:175-222)."""
     Nc = cfg.Nc or spec.size
     ladder = beta_ladder_alpha(pz_tilde, alpha, Nc)
-    return pteq_run(spec, init_states, ladder, cfg, (alpha, alpha, 1.0), seed)
+    return pteq_run(spec, init_states, ladder, cfg, (alpha, alpha, 1.0), seed,
+                    metrics=metrics)
 
 
 def PTEQ_alpha_with_shortest(

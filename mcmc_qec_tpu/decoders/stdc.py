@@ -38,11 +38,15 @@ from .counting import make_sampler, z_direct_count
 @functools.lru_cache(maxsize=None)
 def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
                  shortest_mode: str, conv_mult: float = 0.0,
-                 engine: str = "literal"):
+                 engine: str = "literal", with_stats: bool = False):
     """shortest_mode: "off" (full Z), "only" (shortest-truncated Z) or
     "both" (full + shortest from one sampled stream, decoders.py:490-505).
     Bools are accepted for backward compatibility (False="off", True="only").
-    """
+
+    ``with_stats`` additionally returns unique-discovery saturation stats
+    per (B, K): (unique_total, unique_by_halftime) — a saturated stream
+    discovers ~nothing in its second half, the convergence diagnostic for
+    direct counting."""
     if isinstance(shortest_mode, bool):
         shortest_mode = "only" if shortest_mode else "off"
     iters = 5 if engine == "literal" else 1
@@ -77,18 +81,32 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
         nxyz = stream.n_xyz.reshape(B, K, droplets * steps, 3)
         merged = SampleStream(keys_, nxyz)
 
+        stats = ()
+        if with_stats:
+            from .counting import chronological_first_occurrence
+
+            n_samp = droplets * steps
+
+            def disc(keys_one):
+                first = chronological_first_occurrence(keys_one)
+                t = jnp.arange(n_samp)
+                return first.sum(), (first & (t < n_samp // 2)).sum()
+
+            u_tot, u_half = jax.vmap(disc)(keys_.reshape(-1, n_samp, 2))
+            stats = ((u_tot.reshape(B, K), u_half.reshape(B, K)),)
+
         # normalized percentages via stable softmax (== Z/sum Z * 100,
         # decoders.py:322)
         if shortest_mode == "both":
             logz, logz_s = z_direct_count(merged, betas_error,
                                           valid=valid, with_shortest=True)
-            return (jax.nn.softmax(logz, axis=-1) * 100.0,
-                    jax.nn.softmax(logz_s, axis=-1) * 100.0), logz
+            return ((jax.nn.softmax(logz, axis=-1) * 100.0,
+                     jax.nn.softmax(logz_s, axis=-1) * 100.0), logz) + stats
         logz = z_direct_count(merged, betas_error,
                               shortest_only=(shortest_mode == "only"),
                               valid=valid)  # (B, K)
         distr = jax.nn.softmax(logz, axis=-1) * 100.0
-        return distr, logz
+        return (distr, logz) + stats
 
     return jax.jit(run)
 
@@ -106,17 +124,32 @@ def stdc_run(
     conv_mult: float = 0.0,
     engine: str = "literal",
     shortest_mode: Optional[str] = None,
+    metrics=None,
 ):
     mode = shortest_mode or ("only" if shortest_only else "off")
     fn = _get_stdc_fn(spec, droplets, steps, randomize, mode,
-                      conv_mult, engine)
+                      conv_mult, engine, with_stats=metrics is not None)
     key = jax.random.PRNGKey(seed)
-    distr, logz = fn(
+    out = fn(
         jnp.asarray(class_states, jnp.uint8),
         key,
         jnp.asarray(betas_sampling, jnp.float32),
         jnp.asarray(betas_error, jnp.float32),
     )
+    distr, logz = out[0], out[1]
+    if metrics is not None:
+        u_tot, u_half = [np.asarray(a) for a in out[2]]
+        late = (u_tot - u_half) / np.maximum(u_tot, 1)  # second-half share
+        metrics.log(
+            "stdc_run",
+            n_samples=droplets * steps,
+            droplets=droplets,
+            unique_mean=float(u_tot.mean()),
+            unique_min=int(u_tot.min()),
+            unique_max=int(u_tot.max()),
+            late_discovery_mean=float(late.mean()),
+            late_discovery_max=float(late.max()),
+        )
     if mode == "both":
         return (np.asarray(distr[0]), np.asarray(distr[1])), np.asarray(logz)
     return np.asarray(distr), np.asarray(logz)
@@ -141,6 +174,7 @@ def STDC(
     seed: int = 0,
     conv_mult: float = 0.0,
     engine: str = "literal",
+    metrics=None,
 ) -> np.ndarray:
     """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
     (random start; droplets are rained) or (B, K, nq) warm starts (no rain,
@@ -159,6 +193,7 @@ def STDC(
         seed=seed,
         conv_mult=conv_mult,
         engine=engine,
+        metrics=metrics,
     )
     return distr
 

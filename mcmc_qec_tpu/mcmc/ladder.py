@@ -106,7 +106,9 @@ def make_ladder_step(
     engine: str = "literal",
     top_exact_accept: bool = False,
 ):
-    """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz)``.
+    """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz,
+    swap_acc)`` where ``swap_acc`` is the (B, Nc-1) per-rung-pair accepted
+    swap indicator for this step (replica-exchange observability).
 
     One call = ``iters`` Metropolis updates on every rung (top rung mixes
     in logical proposals w.p. ``p_logical``, src/mcmc.py:20-35) followed by a
@@ -221,6 +223,7 @@ def make_ladder_step(
         #    per accepted pair.
         n_xyz = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)
         perm = jnp.broadcast_to(jnp.arange(Nc)[None, :], (B, Nc))
+        accepts = [None] * (Nc - 1)
         for j, i in enumerate(reversed(range(Nc - 1))):
             ki = jax.random.fold_in(k_swap, j)
             d_beta = betas_j[i + 1] - betas_j[i]  # (3,)
@@ -228,6 +231,7 @@ def make_ladder_step(
             logr = jnp.sum(d_beta * dn, axis=-1)  # (B,)
             u = jax.random.uniform(ki, (B,), minval=1e-38)
             accept = jnp.log(u) < logr
+            accepts[i] = accept.astype(jnp.int32)
 
             def swap_rows(arr):
                 ai, aj = arr[:, i], arr[:, i + 1]
@@ -247,6 +251,7 @@ def make_ladder_step(
         flag = flag.at[:, 0].set(jnp.where(hit, 0, flag[:, 0]))
 
         bottom_eq = eq_class(spec, state[:, 0])  # (B,)
-        return LadderState(state, flag, tops0), bottom_eq, n_xyz[:, 0]
+        swap_acc = jnp.stack(accepts, axis=1)  # (B, Nc-1) accepted swaps
+        return LadderState(state, flag, tops0), bottom_eq, n_xyz[:, 0], swap_acc
 
     return step

@@ -83,8 +83,9 @@ def make_pallas_ladder_window(
       betas (Nc, 3) f32 (any top rung, incl. biased), weights (3,) f32.
     Returns (state, flag, tops0, eq_count, since_burn,
              energies (window // energy_chunk, B) f32 chunk means,
-             burn_any (B,) bool, burn_first (B,) i32) — the
-    `_get_window_fn` contract.  ``energy_chunk`` > 1 coarsens the energy
+             burn_any (B,) bool, burn_first (B,) i32,
+             swap_acc (B, Nc-1) i32 accepted swaps per rung pair this
+             window) — the `_get_window_fn` contract.  ``energy_chunk`` > 1 coarsens the energy
     trace on device (the host convergence check needs only windowed means;
     fetching per-step traces over the remote-TPU tunnel dominates the host
     loop otherwise).
@@ -157,7 +158,10 @@ def make_pallas_ladder_window(
             DRW[i, 3, r0 : r0 + n_pos[i], c0 : c0 + nq] = z1
         lut.append([(int(o[0]), int(o[1])) for o in np.asarray(drw.op_lut)])
 
-    # per-slot segment reduce / broadcast matrices
+    # per-slot segment reduce / broadcast matrices.  SEGT is SEG transposed,
+    # used to produce (SP, TB)-layout slot sums for the energy trace (whose
+    # VMEM buffer keeps TB in the lane dim — a (chunks, TB, SP) layout would
+    # pad the 8 slot lanes to 128 and waste ~6 MB of VMEM per tile).
     SEG = np.zeros((nq_pad, SP), np.float32)  # qubit lanes -> slot sums
     BRD = np.zeros((SP, nq_pad), np.float32)  # slot scalars -> qubit lanes
     BRD2 = np.zeros((SP, n_pos_out), np.float32)  # -> position lanes
@@ -169,6 +173,7 @@ def make_pallas_ladder_window(
         BRDEQ[j, j * EQW : (j + 1) * EQW] = 1.0
     IOTP = (np.arange(n_pos_out, dtype=np.float32) % n_pos_pad)[None, :]
     IOTE = (np.arange(128, dtype=np.float32) % EQW)[None, :]
+    SEGT = np.ascontiguousarray(SEG.T)  # (SP, nq_pad)
 
     # distinct PRNG uses per ladder step (sweeps, mix, swaps) with slack
     uses_per_step = iters * n_colors + iters * (n_draws * 3 + 2) + 8
@@ -179,14 +184,22 @@ def make_pallas_ladder_window(
 
     def kernel(seed_ref, betas_ref, w_ref, sel_ref, xop_ref, zop_ref,
                ab_ref, drw_ref, seg_ref, brd_ref, brd2_ref, brdeq_ref,
-               pw_ref, iotp_ref, iote_ref, st_ref, fl_ref, tp_ref, eq_ref,
-               sb_ref, st_out, fl_out, tp_out, eq_out, sb_out, en_out,
-               ba_out, bf_out):
+               pw_ref, iotp_ref, iote_ref, segt_ref, st_ref, fl_ref, tp_ref,
+               eq_ref, sb_ref, st_out, fl_out, tp_out, eq_out, sb_out,
+               en_out, ba_out, bf_out, sw_out):
         seg_bf = seg_ref[:].astype(jnp.bfloat16)  # (nq_pad, SP)
         brd_bf = brd_ref[:].astype(jnp.bfloat16)  # (SP, nq_pad)
         brd2_bf = brd2_ref[:].astype(jnp.bfloat16)  # (SP, n_pos_out)
         brdeq_bf = brdeq_ref[:].astype(jnp.bfloat16)  # (SP, 128)
         pw_bf = pw_ref[:].astype(jnp.bfloat16)  # (NBW, SP)
+        segt_bf = segt_ref[:].astype(jnp.bfloat16)  # (SP, nq_pad)
+
+        def seg_sum_t(x):  # (TB, nq_pad) -> (SP, TB): rhs-transposed matmul
+            return jax.lax.dot_general(
+                segt_bf, x.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         def mm(a, b):  # exact small-int bf16 matmul, f32 accumulate
             return jax.lax.dot_general(
@@ -231,7 +244,8 @@ def make_pallas_ladder_window(
             rows0 = list(carry[0:Nc])
             rows1 = list(carry[Nc : 2 * Nc])
             fls = list(carry[2 * Nc : 3 * Nc])
-            tops, eq_count, since, burn_first = carry[3 * Nc :]
+            sws = list(carry[3 * Nc : 4 * Nc])
+            tops, eq_count, since, burn_first = carry[4 * Nc :]
             use = 0
 
             # --- 1) iters colored sweeps on every rung ------------------
@@ -356,6 +370,7 @@ def make_pallas_ladder_window(
                 hi, lo = fls[i + 1], fls[i]
                 fls[i] = lo + acci * (hi - lo)
                 fls[i + 1] = hi + acci * (lo - hi)
+                sws[i] = sws[i] + acci  # swap-acceptance observability
 
             # --- 4) flag / tops0 bookkeeping (src/mcmc.py:100-103) ------
             fls[Nc - 1] = jnp.ones((TB, SP), jnp.int32)
@@ -382,32 +397,39 @@ def make_pallas_ladder_window(
             burn_first = jnp.where(
                 newly, jnp.zeros((TB, SP), jnp.int32) + t, burn_first
             )
-            energy = (
-                w_ref[0, 0] * nxs[0] + w_ref[0, 1] * nys[0]
-                + w_ref[0, 2] * nzs[0]
-            )  # (TB, SP)
+            # energy in (SP, TB) layout so the trace buffer keeps TB in the
+            # lane dim (slot-lane layouts would pad 8 -> 128 lanes in VMEM)
+            b0, b1 = rows0[0], rows1[0]
+            energy_t = (
+                w_ref[0, 0] * seg_sum_t(b0 * (1.0 - b1))
+                + w_ref[0, 1] * seg_sum_t(b0 * b1)
+                + w_ref[0, 2] * seg_sum_t((1.0 - b0) * b1)
+            )  # (SP, TB)
             # accumulate chunk means in place (en_out zeroed at kernel start)
             tc = t // energy_chunk
-            en_out[pl.ds(tc, 1), :, :] += energy[None] * (1.0 / energy_chunk)
-            return tuple(rows0) + tuple(rows1) + tuple(fls) + (
+            en_out[pl.ds(tc * SP, SP), :] += energy_t * (1.0 / energy_chunk)
+            return tuple(rows0) + tuple(rows1) + tuple(fls) + tuple(sws) + (
                 tops, eq_count, since, burn_first
             )
 
-        en_out[:] = jnp.zeros((n_chunks, TB, SP), jnp.float32)
-        carry = tuple(rows0) + tuple(rows1) + tuple(fls) + (
+        en_out[:] = jnp.zeros((n_chunks * SP, TB), jnp.float32)
+        sws = [jnp.zeros((TB, SP), jnp.int32) for _ in range(Nc)]
+        carry = tuple(rows0) + tuple(rows1) + tuple(fls) + tuple(sws) + (
             tops, eq_count, since, burn_first
         )
         carry = jax.lax.fori_loop(0, window, one_step, carry)
         rows0 = carry[0:Nc]
         rows1 = carry[Nc : 2 * Nc]
         fls = carry[2 * Nc : 3 * Nc]
-        tops, eq_count, since, burn_first = carry[3 * Nc :]
+        sws = carry[3 * Nc : 4 * Nc]
+        tops, eq_count, since, burn_first = carry[4 * Nc :]
 
         for i in range(Nc):
             xi = rows0[i].astype(jnp.int32)
             zi = rows1[i].astype(jnp.int32)
             st_out[i] = ((xi * 1) ^ (zi * 3)).astype(jnp.uint8)
             fl_out[i] = fls[i]
+            sw_out[i] = sws[i]
         tp_out[:] = tops
         eq_out[:] = eq_count
         sb_out[:] = since
@@ -460,7 +482,7 @@ def make_pallas_ladder_window(
         grid = (n_rows // TB,)
         vmem = pltpu.VMEM
         consts = [
-            pl.BlockSpec(memory_space=vmem) for _ in range(12)
+            pl.BlockSpec(memory_space=vmem) for _ in range(13)
         ]
         out = pl.pallas_call(
             kernel,
@@ -469,7 +491,8 @@ def make_pallas_ladder_window(
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # betas
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # weights
-                *consts,  # sel,xop,zop,AB,DRW,SEG,BRD,BRD2,BRDEQ,PW,IOTP,IOTE
+                *consts,  # sel,xop,zop,AB,DRW,SEG,BRD,BRD2,BRDEQ,PW,IOTP,
+                #           IOTE,SEGT
                 pl.BlockSpec((Nc, TB, nq_pad), lambda i: (0, i, 0),
                              memory_space=vmem),
                 pl.BlockSpec((Nc, TB, SP), lambda i: (0, i, 0),
@@ -486,10 +509,12 @@ def make_pallas_ladder_window(
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, 128), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
-                pl.BlockSpec((n_chunks, TB, SP), lambda i: (0, i, 0),
+                pl.BlockSpec((n_chunks * SP, TB), lambda i: (0, i),
                              memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
+                pl.BlockSpec((Nc, TB, SP), lambda i: (0, i, 0),
+                             memory_space=vmem),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((Nc, n_rows, nq_pad), jnp.uint8),
@@ -497,17 +522,18 @@ def make_pallas_ladder_window(
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
-                jax.ShapeDtypeStruct((n_chunks, n_rows, SP), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * SP, n_rows), jnp.float32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
+                jax.ShapeDtypeStruct((Nc, n_rows, SP), jnp.int32),
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
         )(seed2, betas2, w2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), jnp.asarray(AB), jnp.asarray(DRW),
           jnp.asarray(SEG), jnp.asarray(BRD), jnp.asarray(BRD2),
           jnp.asarray(BRDEQ), jnp.asarray(PW), jnp.asarray(IOTP),
-          jnp.asarray(IOTE), st, fl, tp, eq, sb)
-        st_o, fl_o, tp_o, eq_o, sb_o, en_o, ba_o, bf_o = out
+          jnp.asarray(IOTE), jnp.asarray(SEGT), st, fl, tp, eq, sb)
+        st_o, fl_o, tp_o, eq_o, sb_o, en_o, ba_o, bf_o, sw_o = out
 
         def unpack_slot(a):  # (n_rows, SP) -> (B0,)
             return a[:, :n_pack].reshape(Bp)[:B0]
@@ -525,7 +551,12 @@ def make_pallas_ladder_window(
             eq_o.reshape(n_rows, SP, EQW)[:, :n_pack, :K]
             .reshape(Bp, K)[:B0]
         )
-        en_out2 = en_o[..., :n_pack].reshape(n_chunks, Bp)[:, :B0]
+        en_out2 = jnp.moveaxis(
+            en_o.reshape(n_chunks, SP, n_rows), 1, 2
+        )[:, :, :n_pack].reshape(n_chunks, Bp)[:, :B0]
+        swap_o = jnp.moveaxis(
+            sw_o[:, :, :n_pack].reshape(Nc, Bp), 0, 1
+        )[:B0, : Nc - 1]
         return (
             state_o,
             flag_o,
@@ -535,6 +566,7 @@ def make_pallas_ladder_window(
             en_out2,
             unpack_slot(ba_o) > 0,
             unpack_slot(bf_o),
+            swap_o,
         )
 
     return raw

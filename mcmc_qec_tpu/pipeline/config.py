@@ -53,6 +53,10 @@ class RunConfig:
     # in-flight batch bit-identically (combine with the dataset checkpoint
     # above + append=True for the completed batches)
     ckpt_dir: Optional[str] = None
+    # observability: JSONL metrics stream (per-window swap acceptance,
+    # tops0 rate, energy ESS for PTEQ; unique-discovery saturation for
+    # STDC).  None = off.
+    metrics_path: Optional[str] = None
 
     def __post_init__(self):
         if self.steps is None:

@@ -79,7 +79,7 @@ def uncorrelated_p_xyz(p_error: float) -> np.ndarray:
 
 
 def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
-                 seed: int) -> Tuple[np.ndarray, Callable]:
+                 seed: int, metrics=None) -> Tuple[np.ndarray, Callable]:
     """Dispatch a batch to the configured decoder.
 
     Returns (distributions (B, K), decision_fn) where decision_fn maps a
@@ -116,12 +116,15 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
 
     if method == "PTEQ":
         if noise == "depolarizing":
-            res = PTEQ(spec, init, cfg.p_error, pteq_cfg, seed=seed)
+            res = PTEQ(spec, init, cfg.p_error, pteq_cfg, seed=seed,
+                       metrics=metrics)
         elif noise == "biased":
             pz_tilde, alpha = biased_alpha_equivalent(cfg.p_error, cfg.eta)
-            res = PTEQ_alpha(spec, init, pz_tilde, alpha, pteq_cfg, seed=seed)
+            res = PTEQ_alpha(spec, init, pz_tilde, alpha, pteq_cfg, seed=seed,
+                             metrics=metrics)
         elif noise == "alpha":
-            res = PTEQ_alpha(spec, init, cfg.p_error, cfg.alpha, pteq_cfg, seed=seed)
+            res = PTEQ_alpha(spec, init, cfg.p_error, cfg.alpha, pteq_cfg,
+                             seed=seed, metrics=metrics)
         else:
             raise ValueError(f"PTEQ does not support noise {noise!r}")
         return res.distribution.astype(np.float32), argmax
@@ -196,7 +199,7 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
     if method == "STDC":
         if noise in ("depolarizing",):
             d = STDC(spec, init, cfg.p_error, cfg.p_sampling, cfg.droplets,
-                     cfg.steps, seed=seed, engine=cfg.engine)
+                     cfg.steps, seed=seed, engine=cfg.engine, metrics=metrics)
         elif noise == "uncorrelated":
             d = STDC_general_noise(spec, init, uncorrelated_p_xyz(cfg.p_error),
                                    cfg.p_sampling, cfg.droplets, cfg.steps,
@@ -265,6 +268,11 @@ def generate(
     t0 = time.time()
     base_key = jax.random.PRNGKey(cfg.seed)
     last_ckpt = 0
+    metrics = None
+    if cfg.metrics_path:
+        from ..utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(cfg.metrics_path)
     while done < nbr_datapoints:
         n = min(cfg.batch, nbr_datapoints - done)
         # key/seed derived from `done` so append=True resumes produce fresh,
@@ -272,7 +280,8 @@ def generate(
         k_err = jax.random.fold_in(base_key, done)
         states = sample_errors(spec, cfg, k_err)[:n]
         eq_true = np_eq_class(spec, states)
-        distr, decide = decode_batch(spec, cfg, states, cfg.seed + done)
+        distr, decide = decode_batch(spec, cfg, states, cfg.seed + done,
+                                     metrics=metrics)
         if cfg.ckpt_dir:
             # the batch finished: drop its mid-decode checkpoint stream so a
             # later run with a changed config can't collide with it

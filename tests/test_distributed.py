@@ -145,7 +145,8 @@ def test_sharded_fused_ladder_under_shard_map():
         shard_map(
             local, mesh=mesh,
             in_specs=(P("data"),) * 6,
-            out_specs=(P("data"),) * 5 + (P(None, "data"), P("data"), P("data")),
+            out_specs=(P("data"),) * 5
+            + (P(None, "data"), P("data"), P("data"), P("data")),
             check_vma=False,
         )
     )
@@ -156,7 +157,7 @@ def test_sharded_fused_ladder_under_shard_map():
         shard_batch(jnp.zeros((B,), jnp.int32), mesh),
         shard_batch(np.arange(4, dtype=np.int32) * 7 + 1, mesh),
     )
-    st, fl, tp, eq, sb, en, ba, bf = [np.asarray(x) for x in out]
+    st, fl, tp, eq, sb, en, ba, bf, sw = [np.asarray(x) for x in out]
     assert st.shape == (B, Nc, spec.nq) and eq.shape == (B, K)
     assert en.shape == (2, B)  # window=4, energy_chunk=2
     # stabilizer + logical moves preserve the syndrome on every rung

@@ -168,7 +168,7 @@ def test_top_mix_fast_path_equivalence():
     for fast in (False, True):
         step = make_ladder_step(spec, Nc, iters=6, p_logical=0.5,
                                 engine="sweep", top_exact_accept=fast)
-        ls, _, _ = jax.jit(step)(
+        ls, _, _, _ = jax.jit(step)(
             init_ladder(spec, states, Nc), jax.random.PRNGKey(42 + fast), betas
         )
         classes = np.asarray(eq_class(spec, ls.state[:, -1]))

