@@ -179,6 +179,22 @@ def main():
             extra["pallas_d13"] = round(bench_pallas(d=13, batch=16384), 1)
     except Exception as e:  # pragma: no cover
         extra["pallas_d13_error"] = str(e)[:200]
+    try:
+        # roofline accounting: convert measured proposals/s to achieved
+        # MXU TFLOP/s and fraction of the chip's bf16 peak (see
+        # mcmc_qec_tpu/utils/roofline.py; RESULTS.md "MFU and roofline")
+        from mcmc_qec_tpu.models import get_spec
+        from mcmc_qec_tpu.utils.roofline import mfu_from_throughput
+
+        for dd, bb, key in [(5, 32768, "pallas_d5"), (9, 32768, "pallas_d9"),
+                            (13, 16384, "pallas_d13")]:
+            if key in extra:
+                tf, mfu = mfu_from_throughput(
+                    get_spec("toric", dd), extra[key], bb, 400)
+                extra[f"mfu_estimate_d{dd}"] = round(mfu, 4)
+                extra[f"mxu_tflops_d{dd}"] = round(tf, 2)
+    except Exception as e:  # pragma: no cover
+        extra["mfu_error"] = str(e)[:200]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
         "value": round(value, 1),

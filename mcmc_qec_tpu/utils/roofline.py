@@ -1,0 +1,74 @@
+"""MXU FLOP accounting / roofline estimates for the Pallas sweep kernel.
+
+The sweep kernel (ops/pallas_sweep.py) performs, per color per sweep,
+four MXU matmuls on bf16 operands with f32 accumulation:
+
+    3 delta contractions  (TB, nq_pad) @ (nq_pad, W_out)
+    1 accept scatter      (TB, W_out)  @ (W_out, nq_pad)
+
+All four are 2 * TB * nq_pad * W_out FLOPs.  This module reproduces the
+kernel's padding/packing arithmetic so bench.py can convert a measured
+proposals/s figure into an achieved-TFLOP/s and model-FLOP-utilization
+(MFU) estimate without instrumenting the kernel.
+
+Peak figures: TPU v5e (the bench chip, ``TPU v5 lite``) peaks at ~197
+bf16 TFLOP/s and ~394 int8 TOP/s per chip.  Override with the
+``MCMC_QEC_PEAK_TFLOPS`` env var when running on other hardware.
+
+Findings recorded in RESULTS.md: the kernel is *issue-bound*, not
+MXU-bound (9.6% MFU at d=5, 33% at d=13), so the int8 MXU path (2x the
+bf16 rate) does not raise throughput — measured int8 == bf16 rate at the
+kernel's matmul shapes.  Headroom is in instruction count (PRNG calls,
+per-color elementwise), not arithmetic rate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..models.base import CodeSpec
+from ..ops.dense_sweep import _color_tables
+from ..ops.pallas_sweep import _round_up
+
+# TPU v5e per-chip peaks (jax device kind "TPU v5 lite")
+PEAK_BF16_TFLOPS_V5E = 197.0
+PEAK_INT8_TOPS_V5E = 394.0
+
+
+def peak_bf16_tflops() -> float:
+    """Per-chip bf16 MXU peak in TFLOP/s (env-overridable)."""
+    return float(os.environ.get("MCMC_QEC_PEAK_TFLOPS", PEAK_BF16_TFLOPS_V5E))
+
+
+def pallas_sweep_mxu_flops(
+    spec: CodeSpec, batch: int, n_sweeps: int, batch_tile: int = 512
+) -> int:
+    """Total MXU FLOPs one ``make_pallas_sweep(spec, n_sweeps)`` call
+    executes on a ``batch`` of chains (padding and chain packing
+    included, mirroring ops/pallas_sweep.py's layout arithmetic)."""
+    tables = _color_tables(spec)
+    inner = _round_up(spec.nq, 32)
+    n_pack = max(1, 128 // inner)
+    nq_pad = _round_up(n_pack * inner, 128)
+    W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
+    W_out = n_pack * W_pad
+    rows = _round_up(-(-batch // n_pack), batch_tile)
+    per_sweep = len(tables) * 4 * 2 * rows * nq_pad * W_out
+    return per_sweep * n_sweeps
+
+
+def mfu_from_throughput(
+    spec: CodeSpec, proposals_per_sec: float, batch: int, n_sweeps: int,
+    batch_tile: int = 512,
+) -> tuple[float, float]:
+    """(achieved_tflops, mfu_fraction) from a measured proposals/s.
+
+    ``proposals_per_sec`` uses the bench accounting of batch * n_stabs
+    proposals per sweep; the conversion inverts it to wall seconds per
+    kernel call and divides the call's MXU FLOPs by that.
+    """
+    props_per_call = batch * spec.n_stabs * n_sweeps
+    seconds_per_call = props_per_call / proposals_per_sec
+    flops = pallas_sweep_mxu_flops(spec, batch, n_sweeps, batch_tile)
+    achieved = flops / seconds_per_call / 1e12
+    return achieved, achieved / peak_bf16_tflops()
