@@ -125,6 +125,52 @@ def PTDC(
     return np.asarray(distr).astype(np.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("nq",))
+def _ptrc_reduce(m_n, N_n, shortest, next_shortest, beta_ladder, beta_err,
+                 nq: int):
+    """On-device log-space PTRC reduction over rungs and lengths.
+
+    Inputs have axes (B, K, Nc, [nq+1]); the top rung (infinite
+    temperature) is excluded like the reference (decoders.py:726).
+    Working in log space (logsumexp over lengths, then over rungs) keeps
+    the whole reduction in f32 on the accelerator — the previous
+    host-side version needed f64 + exponent clipping because it summed
+    raw Boltzmann terms.  softmax(logZ) == Z / sum(Z) exactly."""
+    m = m_n[..., :-1, :].astype(jnp.float32)  # (B, K, R, nq+1)
+    N = N_n[..., :-1, :].astype(jnp.float32)
+    l0 = shortest[..., :-1].astype(jnp.float32)  # (B, K, R)
+    l1 = next_shortest[..., :-1].astype(jnp.float32)
+    bl = beta_ladder[:-1]  # (R,)
+    db = bl - beta_err
+
+    def take(arr, idx):
+        return jnp.take_along_axis(
+            arr, jnp.clip(idx.astype(jnp.int32), 0, nq)[..., None], axis=-1
+        )[..., 0]
+
+    c0 = take(N, l0) / jnp.maximum(take(m, l0), 1.0)
+    c1 = (
+        take(N, l1) / jnp.maximum(take(m, l1), 1.0)
+        * jnp.exp(-bl * jnp.maximum(l1 - l0, 0.0))
+    )
+    C = jnp.where(l1 <= nq, 0.5 * (c0 + c1), c0)
+    ns = jnp.arange(nq + 1, dtype=jnp.float32)
+    logm = jnp.where(m > 0, jnp.log(jnp.maximum(m, 1e-30)), -jnp.inf)
+    expo = (
+        ns * db[None, None, :, None]
+        - (bl * l0)[..., None]
+        + logm
+    )
+    logZ_i = jnp.log(jnp.maximum(C, 1e-30)) + jax.nn.logsumexp(expo, axis=-1)
+    logZ_i = jnp.where((l0 <= nq) & (C > 0), logZ_i, -jnp.inf)
+    logZ = jax.nn.logsumexp(logZ_i, axis=-1)  # (B, K)
+    any_fin = jnp.isfinite(logZ).any(axis=-1, keepdims=True)
+    logZ_safe = jnp.where(jnp.isfinite(logZ), logZ, -1e30)
+    return jnp.where(
+        any_fin, jax.nn.softmax(logZ_safe, axis=-1) * 100.0, 0.0
+    )
+
+
 def PTRC(
     spec: CodeSpec,
     init_states: np.ndarray,
@@ -146,7 +192,9 @@ def PTRC(
         Z_eq   = sum_i Z_i
 
     with beta_i from the p-ladder and d_beta_i = beta_i - beta_error.
-    Returns uint8 percentages (decoders.py:742)."""
+    The reduction runs on-device in log space (no (B, K, Nc, nq+1) host
+    fetch; scales to large batch x Nc).  Returns uint8 percentages
+    (decoders.py:742)."""
     p_sampling = p_sampling or p_error
     Nc = Nc or spec.size
     steps_eff = steps // Nc
@@ -155,39 +203,10 @@ def PTRC(
         engine,
     )
     st = occupancy_stats(stream, spec.nq)  # (B, K, Nc, nq+1)
-    m_n = np.asarray(st.m_n, dtype=np.float64)
-    N_n = np.asarray(st.N_n, dtype=np.float64)
-    B, K = m_n.shape[:2]
     beta_err = betas_depolarizing(p_error)[0]
-    beta_ladder = ladder[:, 0]  # scalar depolarizing betas per rung
-    d_beta = beta_ladder - beta_err
-
-    ns = np.arange(spec.nq + 1, dtype=np.float64)
-    Z = np.zeros((B, K))
-    for i in range(Nc - 1):
-        m = m_n[:, :, i]  # (B, K, nq+1)
-        N = N_n[:, :, i]
-        has = m > 0
-        # two shortest observed lengths per (B, K)
-        big = spec.nq + 10
-        l_sorted = np.where(has, ns[None, None, :], big)
-        l_sorted.sort(axis=-1)
-        l0 = l_sorted[..., 0]
-        l1 = l_sorted[..., 1]
-        bidx, kidx = np.meshgrid(np.arange(B), np.arange(K), indexing="ij")
-        l0c = np.clip(l0.astype(int), 0, spec.nq)
-        l1c = np.clip(l1.astype(int), 0, spec.nq)
-        c0 = N[bidx, kidx, l0c] / np.maximum(m[bidx, kidx, l0c], 1.0)
-        c1 = (
-            N[bidx, kidx, l1c]
-            / np.maximum(m[bidx, kidx, l1c], 1.0)
-            * np.exp(-beta_ladder[i] * (l1 - l0))
-        )
-        C_mean = np.where(l1 <= spec.nq, 0.5 * (c0 + c1), c0)
-        expo = ns[None, None, :] * d_beta[i] - beta_ladder[i] * l0[..., None]
-        Z_i = C_mean * np.sum(m * np.exp(np.clip(expo, -700, 700)), axis=-1)
-        Z += np.where(l0 <= spec.nq, Z_i, 0.0)
-
-    total = Z.sum(axis=-1, keepdims=True)
-    distr = np.where(total > 0, Z / np.maximum(total, 1e-300) * 100.0, 0.0)
-    return distr.astype(np.uint8)
+    distr = _ptrc_reduce(
+        st.m_n, st.N_n, st.shortest, st.next_shortest,
+        jnp.asarray(ladder[:, 0], jnp.float32), jnp.float32(beta_err),
+        spec.nq,
+    )
+    return np.asarray(distr).astype(np.uint8)
