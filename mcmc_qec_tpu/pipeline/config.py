@@ -57,6 +57,12 @@ class RunConfig:
     # tops0 rate, energy ESS for PTEQ; unique-discovery saturation for
     # STDC).  None = off.
     metrics_path: Optional[str] = None
+    # failure detection/elasticity: re-attempt a batch decode this many
+    # times when the device/tunnel errors out (transient remote-TPU
+    # failures).  With ckpt_dir set, PTEQ retries resume mid-decode from
+    # the batch's snapshot instead of restarting it.
+    retries: int = 2
+    retry_wait: float = 5.0  # seconds between attempts (linear backoff)
 
     def __post_init__(self):
         if self.steps is None:

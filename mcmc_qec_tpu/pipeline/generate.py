@@ -234,6 +234,38 @@ def decode_batch(spec: CodeSpec, cfg: RunConfig, states: np.ndarray,
     raise ValueError(f"unknown method {cfg.method!r}")
 
 
+def _decode_with_retry(spec, cfg, states, seed, metrics, progress):
+    """decode_batch with host-level failure detection (SURVEY §5).
+
+    Transient device/tunnel errors are retried up to ``cfg.retries`` times
+    with linear backoff.  PTEQ batches with ``cfg.ckpt_dir`` resume from
+    their mid-decode snapshot, so a retry continues the interrupted decode
+    instead of repeating it; stateless decoders simply rerun (same seed —
+    bit-identical samples).  Programming errors (bad config/shape) are
+    re-raised immediately rather than retried."""
+    last = None
+    for attempt in range(cfg.retries + 1):
+        try:
+            return decode_batch(spec, cfg, states, seed, metrics=metrics)
+        except (ValueError, TypeError, AssertionError, KeyError):
+            raise  # config/shape bugs: retrying cannot help
+        except Exception as e:  # device / runtime / tunnel failures
+            last = e
+            if attempt >= cfg.retries:
+                break
+            if progress:
+                progress(
+                    f"[generate] decode attempt {attempt + 1} failed "
+                    f"({type(e).__name__}: {str(e)[:120]}); retrying in "
+                    f"{cfg.retry_wait * (attempt + 1):.0f}s"
+                )
+            if metrics is not None:
+                metrics.log("decode_retry", attempt=attempt,
+                            error=str(e)[:200], seed=seed)
+            time.sleep(cfg.retry_wait * (attempt + 1))
+    raise last
+
+
 def generate(
     file_path: Optional[str],
     cfg: RunConfig,
@@ -280,8 +312,8 @@ def generate(
         k_err = jax.random.fold_in(base_key, done)
         states = sample_errors(spec, cfg, k_err)[:n]
         eq_true = np_eq_class(spec, states)
-        distr, decide = decode_batch(spec, cfg, states, cfg.seed + done,
-                                     metrics=metrics)
+        distr, decide = _decode_with_retry(spec, cfg, states, cfg.seed + done,
+                                           metrics, progress)
         if cfg.ckpt_dir:
             # the batch finished: drop its mid-decode checkpoint stream so a
             # later run with a changed config can't collide with it

@@ -211,3 +211,74 @@ def test_mcmc_data_reader_reference_format():
     assert reader.get_capacity() == 2603
     qm, chain = reader.next()
     assert np.asarray(qm).shape == (2, 5, 5)
+
+
+def test_generate_retries_transient_failures(tmp_path, monkeypatch):
+    """Host-level failure detection: a decode that dies with a runtime
+    error is retried (SURVEY §5 elasticity row); the final dataset is the
+    one an uninterrupted run produces (same seeds)."""
+    import sys
+
+    gen = sys.modules["mcmc_qec_tpu.pipeline.generate"]
+
+    cfg = RunConfig(
+        code="planar", method="STDC", size=3, noise="depolarizing",
+        p_error=0.08, p_sampling=0.25, droplets=2, steps=400, batch=4,
+        retries=2, retry_wait=0.0,
+        metrics_path=str(tmp_path / "m.jsonl"),
+    )
+    clean = generate(None, cfg, nbr_datapoints=8, progress=None)
+
+    real = gen.decode_batch
+    fails = {"left": 2}
+
+    def flaky(spec, c, states, seed, metrics=None):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("simulated tunnel drop")
+        return real(spec, c, states, seed, metrics=metrics)
+
+    monkeypatch.setattr(gen, "decode_batch", flaky)
+    ds = generate(None, cfg, nbr_datapoints=8, progress=None)
+    assert fails["left"] == 0
+    assert np.array_equal(ds.distributions, clean.distributions)
+    import json
+
+    events = [json.loads(l)["event"]
+              for l in open(tmp_path / "m.jsonl") if l.strip()]
+    assert events.count("decode_retry") == 2
+
+
+def test_generate_does_not_retry_config_errors(monkeypatch):
+    import sys
+
+    gen = sys.modules["mcmc_qec_tpu.pipeline.generate"]
+
+    cfg = RunConfig(code="toric", method="STDC", size=3, noise="biased",
+                    batch=2, retries=5, retry_wait=0.0)
+    calls = {"n": 0}
+
+    def boom(spec, c, states, seed, metrics=None):
+        calls["n"] += 1
+        raise ValueError("bad config")
+
+    monkeypatch.setattr(gen, "decode_batch", boom)
+    with pytest.raises(ValueError):
+        generate(None, cfg, nbr_datapoints=2, progress=None)
+    assert calls["n"] == 1
+
+
+def test_generate_exhausted_retries_reraises(monkeypatch):
+    import sys
+
+    gen = sys.modules["mcmc_qec_tpu.pipeline.generate"]
+
+    cfg = RunConfig(code="toric", method="STDC", size=3, batch=2,
+                    retries=1, retry_wait=0.0)
+
+    def always(spec, c, states, seed, metrics=None):
+        raise RuntimeError("persistent device loss")
+
+    monkeypatch.setattr(gen, "decode_batch", always)
+    with pytest.raises(RuntimeError, match="persistent"):
+        generate(None, cfg, nbr_datapoints=2, progress=None)
