@@ -250,14 +250,21 @@ def make_pallas_ladder_window(
 
             # --- 1) iters colored sweeps on every rung ------------------
             for it in range(iters):
+                # ONE seed+generate+log per iteration covering every
+                # (color, rung): the kernel is issue-bound and per-color
+                # PRNG round-trips are a large share of the non-MXU work;
+                # leading-axis slices of the batched tensor are free
+                logu_all = jnp.log(
+                    runif((n_colors * Nc, TB, W_out), use, t)
+                )
+                use += 1
                 for c in range(n_colors):
                     sel = sel_ref[c]  # (W_out, nq_pad) block-diagonal
                     xop = xop_ref[c]  # (1, nq_pad)
                     zop = zop_ref[c]
                     sel_bf = sel.astype(jnp.bfloat16)
                     selT_bf = sel_bf.T
-                    logu = jnp.log(runif((Nc, TB, W_out), use, t))
-                    use += 1
+                    logu = logu_all[c * Nc : (c + 1) * Nc]
                     for r in range(Nc):
                         b0, b1 = rows0[r], rows1[r]
                         nb0 = fxor(b0, xop)
@@ -287,19 +294,20 @@ def make_pallas_ladder_window(
                 bty = betas_ref[Nc - 1, 1]
                 btz = betas_ref[Nc - 1, 2]
                 for it in range(iters):
-                    gate = (
-                        runif((TB, SP), use, t) < p_logical
-                    ).astype(jnp.float32)
+                    # batched PRNG: one uniform generate for gate +
+                    # mix-accept, one bits generate for every draw's
+                    # (op, posx, posz) triple
+                    u_mix = runif((2, TB, SP), use, t)
                     use += 1
+                    draw_bits = rbits((3 * n_draws, TB, SP), use, t)
+                    use += 1
+                    gate = (u_mix[0] < p_logical).astype(jnp.float32)
                     r0 = jnp.zeros((TB, nq_pad), jnp.float32)
                     r1 = jnp.zeros((TB, nq_pad), jnp.float32)
                     for i in range(n_draws):
-                        opb = rbits((TB, SP), use, t) % 4
-                        use += 1
-                        posx = rbits((TB, SP), use, t) % n_pos[i]
-                        use += 1
-                        posz = rbits((TB, SP), use, t) % n_pos[i]
-                        use += 1
+                        opb = draw_bits[3 * i] % 4
+                        posx = draw_bits[3 * i + 1] % n_pos[i]
+                        posz = draw_bits[3 * i + 2] % n_pos[i]
                         xflag = jnp.zeros((TB, SP), jnp.float32)
                         zflag = jnp.zeros((TB, SP), jnp.float32)
                         for o in range(4):
@@ -331,8 +339,7 @@ def make_pallas_ladder_window(
                     dny = seg_sum(nb0 * nb1 - bT0 * bT1)
                     dnz = seg_sum((1.0 - nb0) * nb1 - (1.0 - bT0) * bT1)
                     logr = -(btx * dnx + bty * dny + btz * dnz)  # (TB, SP)
-                    logu_m = jnp.log(runif((TB, SP), use, t))
-                    use += 1
+                    logu_m = jnp.log(u_mix[1])
                     acc_q = bcast((logu_m < logr).astype(jnp.float32))
                     bT0 = fxor(bT0, m0 * acc_q)
                     bT1 = fxor(bT1, m1 * acc_q)

@@ -84,6 +84,29 @@ def make_pallas_sweep(
 
         def one_sweep(t, planes):
             b0, b1 = planes
+            if not interpret:
+                # ONE seed + generate + log per sweep covering every color
+                # (leading-axis slices below are free): the kernel is
+                # issue-bound at small d, and per-color PRNG round-trips
+                # were a large share of the non-MXU work.  Per-(tile,
+                # sweep) seeding — a single seed at kernel start gets
+                # hoisted/replayed by the compiler inside fori_loop,
+                # yielding repeated bits (verified empirically).
+                pltpu.prng_seed(
+                    (seed_ref[0, 0] * jnp.int32(40503) + pl.program_id(0))
+                    * jnp.int32(1000003)
+                    + t
+                )
+                bits = pltpu.prng_random_bits(
+                    (n_colors, b0.shape[0], W_out)
+                )
+                # keep 24 high bits so the int->float conversion is
+                # sign-safe regardless of how the backend treats uint32
+                b24 = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.int32), 8
+                )
+                u_all = b24.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-12
+                logu_all = jnp.log(u_all)
             for c in range(n_colors):
                 # after chain packing the selector block is block-diagonal
                 # over the n_pack chains in a row: (W_out, nq_pad) with
@@ -96,7 +119,7 @@ def make_pallas_sweep(
                 d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
                 d2 = nb0 * nb1 - b0 * b1
                 d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
-                # (TB, nq_pad) @ (nq_pad, W_pad) on the MXU.  All operands
+                # (TB, nq_pad) @ (nq_pad, W_out) on the MXU.  All operands
                 # are small integers ({-1,0,1} deltas, 0/1 selectors) that
                 # bf16 represents exactly, and accumulation stays f32 —
                 # bit-identical results at 2x the MXU rate (1.4x measured
@@ -113,26 +136,7 @@ def make_pallas_sweep(
                 if interpret:
                     logu = logu_ref[0, t, c]
                 else:
-                    # explicit per-(tile, sweep, color) seeding: a single
-                    # seed at kernel start gets hoisted/replayed by the
-                    # compiler inside fori_loop, yielding repeated bits
-                    # (verified empirically: stationarity breaks without
-                    # this)
-                    pltpu.prng_seed(
-                        (seed_ref[0, 0] * jnp.int32(40503)
-                         + pl.program_id(0))
-                        * jnp.int32(1000003)
-                        + t * n_colors
-                        + c
-                    )
-                    bits = pltpu.prng_random_bits(logr.shape)
-                    # keep 24 high bits so the int->float conversion is
-                    # sign-safe regardless of how the backend treats uint32
-                    b24 = jax.lax.shift_right_logical(
-                        pltpu.bitcast(bits, jnp.int32), 8
-                    )
-                    u = b24.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-12
-                    logu = jnp.log(u)
+                    logu = logu_all[c]
                 accept = (logu < logr).astype(jnp.bfloat16)
                 acc_q = jnp.dot(accept, sel_bf,
                                 preferred_element_type=jnp.float32)
