@@ -535,6 +535,14 @@ def make_pallas_ladder_window(
                 jax.ShapeDtypeStruct((Nc, n_rows, SP), jnp.int32),
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
+            # larger codes (d >= 9: nq_pad 256+, Nc = d rungs) need more
+            # scoped VMEM than the compiler's default 16 MiB ceiling
+            # (d=9/window=600 wants ~18 MiB of stack); v5e has 128 MiB of
+            # VMEM, so raise the per-kernel cap instead of shrinking the
+            # batch tile and wasting MXU occupancy
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(seed2, betas2, w2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), jnp.asarray(AB), jnp.asarray(DRW),
           jnp.asarray(SEG), jnp.asarray(BRD), jnp.asarray(BRD2),
