@@ -112,25 +112,39 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
         # the fused kernel's top-rung logical mix is a general Metropolis
         # accept, so nonzero top betas (PTEQ_biased ladders) run fused too
         if jax.default_backend() == "tpu" and not track_shortest:
-            from ..ops.pallas_ladder import make_pallas_ladder_window
-
-            fused = make_pallas_ladder_window(
-                spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
-                cfg.tops_burn, batch_tile=128, energy_chunk=C,
+            from ..ops.pallas_ladder import (
+                make_pallas_ladder_window,
+                pick_batch_tile,
             )
 
-            def window_fused(ls: LadderState, rkey, betas, eq_count,
-                             since_burn, weights):
-                seed = jax.random.randint(rkey, (), 0, 2**31 - 1)
-                st, fl, tp, eq, sb, en, ba, bf, sw = fused(
-                    ls.state, ls.flag, ls.tops0, eq_count, since_burn,
-                    seed, betas, weights,
+            # 128 measured best end-to-end: larger tiles don't speed the
+            # full-batch windows but quadruple the padding waste on small
+            # post-compaction buckets (B=128 pads to 512 rows at tile 256)
+            tb = pick_batch_tile(spec, Nc, cfg.window, cfg.iters, C,
+                                 requested=128)
+            if tb > 0:
+                fused = make_pallas_ladder_window(
+                    spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
+                    cfg.tops_burn, batch_tile=tb, energy_chunk=C,
+                    top_exact=top_exact_accept,
                 )
-                return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp, sw)
 
-            fn = jax.jit(window_fused, donate_argnums=(0,))
-            _WINDOW_CACHE[key] = fn
-            return fn
+                def window_fused(ls: LadderState, rkey, betas, eq_count,
+                                 since_burn, weights):
+                    seed = jax.random.randint(rkey, (), 0, 2**31 - 1)
+                    st, fl, tp, eq, sb, en, ba, bf, sw = fused(
+                        ls.state, ls.flag, ls.tops0, eq_count, since_burn,
+                        seed, betas, weights,
+                    )
+                    return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp,
+                            sw)
+
+                fn = jax.jit(window_fused, donate_argnums=(0,))
+                _WINDOW_CACHE[key] = fn
+                return fn
+            # else: fused state for this (d, Nc, window) exceeds device
+            # VMEM even at the minimum tile — run the XLA sweep window
+            # (documented fallback, docs/decoders.md)
         engine = "sweep"  # fallback: same math, unfused
 
     ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical,

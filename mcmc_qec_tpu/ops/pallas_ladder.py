@@ -1,38 +1,47 @@
-"""Fused Pallas TPU kernel: a full PTEQ window in VMEM.
+"""Fused Pallas TPU kernel: a full PTEQ window in VMEM, rung-packed.
 
 One kernel invocation runs ``window`` parallel-tempering ladder steps for a
 batch tile of syndromes — per step: ``iters`` colored Metropolis sweeps on
-every rung (per-rung betas), Metropolis logical mixing on the top rung
-(general top-rung betas: for the standard zero-beta tops the acceptance is
-identically 1, reproducing src/mcmc.py:30's always-accept; for biased
-ladders, src/mcmc_biased.py:66-124, the exact log-ratio test runs fused),
-the sequential top->bottom replica-exchange sweep with flag/tops0
-bookkeeping (src/mcmc.py:94-103), bottom-rung equivalence-class readout and
-post-burn class-occupation accumulation — with the ladder state resident in
-VMEM throughout.  This removes the per-step XLA op overhead that dominates
-the unfused window (ops/metropolis + mcmc/ladder path) and lets PTEQ run at
-low ``iters`` (frequent replica exchange) where convergence needs ~2.5x
-fewer total sweeps.
+every rung (per-rung betas), logical mixing on the top rung (general
+Metropolis for nonzero top betas, src/mcmc_biased.py:66-124; a batched
+always-accept parity path for the standard zero-beta top,
+src/mcmc.py:30), the sequential top->bottom replica-exchange sweep with
+flag/tops0 bookkeeping (src/mcmc.py:94-103), bottom-rung
+equivalence-class readout and post-burn class-occupation accumulation —
+with the ladder state resident in VMEM throughout.
 
-Chain packing: small codes (nq <= 64) pack ``n_pack = 128 // round_up(nq,
-32)`` independent syndromes side by side in each 128-lane row (same scheme
-as ops/pallas_sweep.py): the per-color stabilizer contractions become
-block-diagonal selector matmuls, and every per-syndrome scalar (swap
-accepts, Pauli counts, flags, tops0, class index, energy) lives in a
-(rows, 8)-slot layout reduced/broadcast with tiny segment matmuls.  At
-toric d=5 this doubles the syndromes per VMEM byte and per MXU tile; at
-d=3 it quadruples them.
+Rung packing (the round-3 redesign): between replica-exchange sweeps the
+Nc rungs evolve independently, so the whole ladder is held as ONE pair of
+(Nc*TB, nq_pad) bf16 bitplanes with rung r in rows [r*TB, (r+1)*TB).
+Each colored half-sweep is then 4 large MXU matmuls over all rungs at
+once (3 delta contractions + 1 accept scatter) instead of 4*Nc small
+ones; per-rung acceptance betas enter as an (Nc*TB, 1) row-block column
+built from SMEM.  The per-rung Pauli counts feeding the exchange sweep
+are likewise one packed segment-sum matmul per component.  Only the
+exchange sweep itself (sequential by construction, mcmc.py:96-99) and the
+top/bottom readouts touch (TB, .) slices.  Bitplanes default to f32:
+bf16 planes would halve VMEM (every stored value is 0/1, exact either
+way; matmul inputs are cast to bf16 regardless) but measured 1.6x SLOWER
+end-to-end on v5e — the VPU elementwise chain pays pack/unpack on every
+op — so ``plane_dtype`` keeps f32 unless VMEM pressure forces bf16.
+
+Chain packing (within a row) is unchanged: small codes (nq <= 64) pack
+``n_pack = 128 // round_up(nq, 32)`` independent syndromes side by side
+in each 128-lane row (same scheme as ops/pallas_sweep.py), and every
+per-syndrome scalar (swap accepts, Pauli counts, flags, tops0, class
+index, energy) lives in a (rows, 8)-slot layout reduced/broadcast with
+tiny segment matmuls.
 
 Restrictions (the general path in mcmc/ladder.py covers the rest):
-- no track_shortest extras;
+- no track_shortest extras (shortest tracking runs on-device in the XLA
+  window path, decoders/pteq.py);
 - TPU only (pltpu PRNG) unless ``interpret=True``.  Statistical
   equivalence with the XLA window is validated on-chip in
   tests/test_pallas_ladder.py (skipped off-TPU).
 
-Sweep math is identical to ops/pallas_sweep.py (bf16 MXU contractions of
-exactly-representable small integers, f32 accumulation).  Everything in
-the kernel is per-rung 2D (TB, lanes) — Mosaic rejects 1D<->3D shape
-casts/stacks, so the ladder is a static tuple of row arrays.
+Sweep math is identical to ops/pallas_sweep.py.  Mosaic rejects 1D<->3D
+shape casts, so all kernel values are 2D; rung slicing is static row
+slicing of the packed planes.
 """
 
 from __future__ import annotations
@@ -46,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.base import CodeSpec
 from .dense_sweep import _color_tables
+from .tpu_info import scoped_vmem_limit
 
 # slot lanes for per-syndrome scalars; n_pack <= 4 always (inner >= 32)
 SP = 8
@@ -63,6 +73,48 @@ def _bit_planes_np(m: np.ndarray):
     return b0.astype(np.float32), b1.astype(np.float32)
 
 
+def fused_vmem_estimate(spec: CodeSpec, Nc: int, window: int, iters: int,
+                        batch_tile: int, energy_chunk: int) -> int:
+    """Rough per-tile VMEM bytes for the fused window kernel: resident
+    state + constants + the peak transient working set of one colored
+    half-sweep.  Used to pick a batch tile / fall back to the XLA window
+    before Mosaic fails compilation (VERDICT r2 #5)."""
+    tables = _color_tables(spec)
+    inner = _round_up(spec.nq, 32)
+    n_pack = max(1, 128 // inner)
+    nq_pad = _round_up(n_pack * inner, 128)
+    W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
+    W_out = n_pack * W_pad
+    n_colors = len(tables)
+    rows = Nc * batch_tile
+    planes = 2 * rows * nq_pad * 2  # bf16 ladder bitplanes
+    # transient: nb0/nb1/d1/d2/d3 bf16 + 3 contractions + logr f32 + the
+    # full per-iter uniform block (n_colors, rows, W_out) f32 + acc f32
+    transient = (
+        5 * rows * nq_pad * 2
+        + 4 * rows * W_out * 4
+        + n_colors * rows * W_out * 4
+        + rows * nq_pad * 4
+    )
+    consts = n_colors * W_out * nq_pad * 4 * 3 + 2 * nq_pad * SP * 128 * 4
+    energy = (window // energy_chunk) * SP * batch_tile * 4
+    scalars = 8 * rows * SP * 4
+    return planes + transient + consts + energy + scalars
+
+
+def pick_batch_tile(spec: CodeSpec, Nc: int, window: int, iters: int,
+                    energy_chunk: int, requested: int = 256) -> int:
+    """Largest batch tile <= requested whose VMEM estimate fits the device
+    (halving down to 32); the caller treats 0 as 'does not fit fused'."""
+    limit = scoped_vmem_limit() or (16 << 20)
+    tb = requested
+    while tb >= 32:
+        if fused_vmem_estimate(spec, Nc, window, iters, tb, energy_chunk) <= limit:
+            return tb
+        tb //= 2
+    return 0
+
+
 def make_pallas_ladder_window(
     spec: CodeSpec,
     Nc: int,
@@ -73,6 +125,8 @@ def make_pallas_ladder_window(
     batch_tile: int = 256,
     energy_chunk: int = 1,
     interpret: bool = False,
+    top_exact: bool = False,
+    plane_dtype=jnp.float32,
 ):
     """Build ``fn(state, flag, tops0, eq_count, since_burn, seed, betas,
     weights)`` running one fused PTEQ window.
@@ -85,10 +139,16 @@ def make_pallas_ladder_window(
              energies (window // energy_chunk, B) f32 chunk means,
              burn_any (B,) bool, burn_first (B,) i32,
              swap_acc (B, Nc-1) i32 accepted swaps per rung pair this
-             window) — the `_get_window_fn` contract.  ``energy_chunk`` > 1 coarsens the energy
-    trace on device (the host convergence check needs only windowed means;
-    fetching per-step traces over the remote-TPU tunnel dominates the host
-    loop otherwise).
+             window) — the `_get_window_fn` contract.  ``energy_chunk`` > 1
+    coarsens the energy trace on device (the host convergence check needs
+    only windowed means; fetching per-step traces over the remote-TPU
+    tunnel dominates the host loop otherwise).
+
+    ``top_exact``: the caller asserts the top rung's betas are exactly
+    zero (depolarizing p_top=0.75 / alpha pz_tilde_top=1), so every
+    logical proposal accepts (src/mcmc.py:30) and the ``iters`` MH rounds
+    collapse to one parity accumulation — all (iter, draw) one-hots are
+    summed first and each draw table is contracted once, mod 2.
 
     ``interpret`` runs the kernel through the TPU interpreter
     (pltpu.InterpretParams) so the full fused dataflow executes on CPU —
@@ -178,8 +238,9 @@ def make_pallas_ladder_window(
     # distinct PRNG uses per ladder step (sweeps, mix, swaps) with slack
     uses_per_step = iters * n_colors + iters * (n_draws * 3 + 2) + 8
     TB = batch_tile
+    NR = Nc * TB  # packed rows per tile: rung r in rows [r*TB, (r+1)*TB)
 
-    def fxor(a, m):  # XOR of 0/1 floats
+    def fxor(a, m):  # XOR of 0/1 floats (exact in bf16)
         return a + m - 2.0 * a * m
 
     def kernel(seed_ref, betas_ref, w_ref, sel_ref, xop_ref, zop_ref,
@@ -208,18 +269,33 @@ def make_pallas_ladder_window(
                 preferred_element_type=jnp.float32,
             )
 
-        def seg_sum(x):  # (TB, nq_pad) -> (TB, SP) per-slot sums
+        def seg_sum(x):  # (R, nq_pad) -> (R, SP) per-slot sums
             return mm(x, seg_bf)
 
         def bcast(x):  # (TB, SP) -> (TB, nq_pad) per-slot broadcast
             return mm(x, brd_bf)
 
-        rows0, rows1, fls = [], [], []
-        for i in range(Nc):
-            x = st_ref[i].astype(jnp.int32)  # (TB, nq_pad)
-            rows0.append(((x & 1) ^ ((x >> 1) & 1)).astype(jnp.float32))
-            rows1.append(((x >> 1) & 1).astype(jnp.float32))
-            fls.append(fl_ref[i].astype(jnp.int32))  # (TB, SP)
+        def mod2(x):  # f32 integer-valued -> parity
+            return x - 2.0 * jnp.floor(x * 0.5)
+
+        # per-row rung betas for the packed acceptance test: row block r
+        # (rows [r*TB, (r+1)*TB)) carries betas_ref[r] — built once from
+        # SMEM scalars, (NR, 1) f32 columns
+        rid = jax.lax.broadcasted_iota(jnp.int32, (NR, 1), 0) // TB
+        bx_col = jnp.zeros((NR, 1), jnp.float32)
+        by_col = jnp.zeros((NR, 1), jnp.float32)
+        bz_col = jnp.zeros((NR, 1), jnp.float32)
+        for r in range(Nc):
+            is_r = (rid == r).astype(jnp.float32)
+            bx_col = bx_col + is_r * betas_ref[r, 0]
+            by_col = by_col + is_r * betas_ref[r, 1]
+            bz_col = bz_col + is_r * betas_ref[r, 2]
+
+        x = st_ref[:].astype(jnp.int32)  # (NR, nq_pad) packed rungs
+        R0 = ((x & 1) ^ ((x >> 1) & 1)).astype(plane_dtype)
+        R1 = ((x >> 1) & 1).astype(plane_dtype)
+        fls = [fl_ref[r * TB : (r + 1) * TB].astype(jnp.int32)
+               for r in range(Nc)]  # (TB, SP) each
         tops = tp_ref[:].astype(jnp.int32)  # (TB, SP)
         eq_count = eq_ref[:].astype(jnp.int32)  # (TB, 128)
         since = sb_ref[:].astype(jnp.int32)  # (TB, SP)
@@ -240,63 +316,100 @@ def make_pallas_ladder_window(
             b24 = rbits(shape, use, t)
             return b24.astype(jnp.float32) * (1.0 / 16777216.0) + 1e-12
 
+        sel_bfs = [sel_ref[c].astype(jnp.bfloat16) for c in range(n_colors)]
+        selT_bfs = [s.T for s in sel_bfs]
+        xops = [xop_ref[c] for c in range(n_colors)]
+        zops = [zop_ref[c] for c in range(n_colors)]
+
         def one_step(t, carry):
-            rows0 = list(carry[0:Nc])
-            rows1 = list(carry[Nc : 2 * Nc])
-            fls = list(carry[2 * Nc : 3 * Nc])
-            sws = list(carry[3 * Nc : 4 * Nc])
-            tops, eq_count, since, burn_first = carry[4 * Nc :]
+            R0, R1 = carry[0], carry[1]
+            fls = list(carry[2 : 2 + Nc])
+            sws = list(carry[2 + Nc : 2 + 2 * Nc])
+            tops, eq_count, since, burn_first = carry[2 + 2 * Nc :]
             use = 0
 
-            # --- 1) iters colored sweeps on every rung ------------------
+            # --- 1) iters colored sweeps, ALL rungs in one matmul chain --
             for it in range(iters):
                 # ONE seed+generate+log per iteration covering every
-                # (color, rung): the kernel is issue-bound and per-color
-                # PRNG round-trips are a large share of the non-MXU work;
-                # leading-axis slices of the batched tensor are free
-                logu_all = jnp.log(
-                    runif((n_colors * Nc, TB, W_out), use, t)
-                )
+                # (color, rung); leading-axis slices of the batched tensor
+                # are free
+                logu_all = jnp.log(runif((n_colors, NR, W_out), use, t))
                 use += 1
                 for c in range(n_colors):
-                    sel = sel_ref[c]  # (W_out, nq_pad) block-diagonal
-                    xop = xop_ref[c]  # (1, nq_pad)
-                    zop = zop_ref[c]
-                    sel_bf = sel.astype(jnp.bfloat16)
-                    selT_bf = sel_bf.T
-                    logu = logu_all[c * Nc : (c + 1) * Nc]
-                    for r in range(Nc):
-                        b0, b1 = rows0[r], rows1[r]
-                        nb0 = fxor(b0, xop)
-                        nb1 = fxor(b1, zop)
-                        d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
-                        d2 = nb0 * nb1 - b0 * b1
-                        d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
-                        logr = -(
-                            betas_ref[r, 0] * mm(d1, selT_bf)
-                            + betas_ref[r, 1] * mm(d2, selT_bf)
-                            + betas_ref[r, 2] * mm(d3, selT_bf)
-                        )  # (TB, W_out)
-                        accept = (logu[r] < logr).astype(jnp.bfloat16)
-                        acc_q = jax.lax.dot_general(
-                            accept, sel_bf,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (TB, nq_pad)
-                        rows0[r] = fxor(b0, xop * acc_q)
-                        rows1[r] = fxor(b1, zop * acc_q)
+                    xop, zop = xops[c], zops[c]
+                    nb0 = fxor(R0, xop.astype(plane_dtype))
+                    nb1 = fxor(R1, zop.astype(plane_dtype))
+                    d1 = nb0 * (1.0 - nb1) - R0 * (1.0 - R1)
+                    d2 = nb0 * nb1 - R0 * R1
+                    d3 = (1.0 - nb0) * nb1 - (1.0 - R0) * R1
+                    logr = -(
+                        bx_col * mm(d1, selT_bfs[c])
+                        + by_col * mm(d2, selT_bfs[c])
+                        + bz_col * mm(d3, selT_bfs[c])
+                    )  # (NR, W_out)
+                    accept = (logu_all[c] < logr).astype(jnp.bfloat16)
+                    acc_q = jax.lax.dot_general(
+                        accept, sel_bfs[c],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(plane_dtype)  # (NR, nq_pad) in {0, 1}
+                    R0 = fxor(R0, xop.astype(plane_dtype) * acc_q)
+                    R1 = fxor(R1, zop.astype(plane_dtype) * acc_q)
 
-            # --- 2) top-rung logical mix (Metropolis; zero betas ->
-            #        log r == 0 -> always accept, src/mcmc.py:30) ---------
-            if p_logical > 0.0:
+            # split into per-rung planes for mix / exchange / readout
+            rows0 = [R0[r * TB : (r + 1) * TB] for r in range(Nc)]
+            rows1 = [R1[r * TB : (r + 1) * TB] for r in range(Nc)]
+
+            # --- 2) top-rung logical mix -------------------------------
+            if p_logical > 0.0 and top_exact:
+                # zero top betas: every gated proposal accepts
+                # (src/mcmc.py:30) and Pauli XOR is linear over F2, so sum
+                # all (iter, draw) one-hots first and contract each draw
+                # table ONCE, taking parities at the end
+                bT0, bT1 = rows0[Nc - 1], rows1[Nc - 1]
+                u_gate = runif((iters, TB, SP), use, t)
+                use += 1
+                draw_bits = rbits((iters * 3 * n_draws, TB, SP), use, t)
+                use += 1
+                sum0 = jnp.zeros((TB, nq_pad), jnp.float32)
+                sum1 = jnp.zeros((TB, nq_pad), jnp.float32)
+                for i in range(n_draws):
+                    ohx_sum = jnp.zeros((TB, n_pos_out), jnp.float32)
+                    ohz_sum = jnp.zeros((TB, n_pos_out), jnp.float32)
+                    for it in range(iters):
+                        base = it * 3 * n_draws + 3 * i
+                        opb = draw_bits[base] % 4
+                        posx = draw_bits[base + 1] % n_pos[i]
+                        posz = draw_bits[base + 2] % n_pos[i]
+                        gate = (u_gate[it] < p_logical).astype(jnp.float32)
+                        xflag = jnp.zeros((TB, SP), jnp.float32)
+                        zflag = jnp.zeros((TB, SP), jnp.float32)
+                        for o in range(4):
+                            is_o = (opb == o).astype(jnp.float32)
+                            xflag = xflag + is_o * float(lut[i][o][0])
+                            zflag = zflag + is_o * float(lut[i][o][1])
+                        posx_l = mm(posx.astype(jnp.float32), brd2_bf)
+                        posz_l = mm(posz.astype(jnp.float32), brd2_bf)
+                        ohx_sum = ohx_sum + (
+                            iotp_ref[:] == posx_l
+                        ).astype(jnp.float32) * mm(xflag * gate, brd2_bf)
+                        ohz_sum = ohz_sum + (
+                            iotp_ref[:] == posz_l
+                        ).astype(jnp.float32) * mm(zflag * gate, brd2_bf)
+                    sum0 = sum0 + mm(ohx_sum, drw_ref[i, 0].astype(jnp.bfloat16))
+                    sum0 = sum0 + mm(ohz_sum, drw_ref[i, 2].astype(jnp.bfloat16))
+                    sum1 = sum1 + mm(ohx_sum, drw_ref[i, 1].astype(jnp.bfloat16))
+                    sum1 = sum1 + mm(ohz_sum, drw_ref[i, 3].astype(jnp.bfloat16))
+                rows0[Nc - 1] = fxor(bT0, mod2(sum0).astype(plane_dtype))
+                rows1[Nc - 1] = fxor(bT1, mod2(sum1).astype(plane_dtype))
+            elif p_logical > 0.0:
+                # general Metropolis mix (nonzero top betas, e.g. biased
+                # ladders): iters sequential MH rounds
                 bT0, bT1 = rows0[Nc - 1], rows1[Nc - 1]
                 btx = betas_ref[Nc - 1, 0]
                 bty = betas_ref[Nc - 1, 1]
                 btz = betas_ref[Nc - 1, 2]
                 for it in range(iters):
-                    # batched PRNG: one uniform generate for gate +
-                    # mix-accept, one bits generate for every draw's
-                    # (op, posx, posz) triple
                     u_mix = runif((2, TB, SP), use, t)
                     use += 1
                     draw_bits = rbits((3 * n_draws, TB, SP), use, t)
@@ -314,8 +427,6 @@ def make_pallas_ladder_window(
                             is_o = (opb == o).astype(jnp.float32)
                             xflag = xflag + is_o * float(lut[i][o][0])
                             zflag = zflag + is_o * float(lut[i][o][1])
-                        # one-hot position per slot segment, pre-gated by
-                        # the op's component flag
                         posx_l = mm(posx.astype(jnp.float32), brd2_bf)
                         posz_l = mm(posz.astype(jnp.float32), brd2_bf)
                         ohx = (iotp_ref[:] == posx_l).astype(
@@ -331,8 +442,8 @@ def make_pallas_ladder_window(
                         r0 = fxor(fxor(r0, x0s), z0s)
                         r1 = fxor(fxor(r1, x1s), z1s)
                     gate_q = bcast(gate)
-                    m0 = r0 * gate_q
-                    m1 = r1 * gate_q
+                    m0 = (r0 * gate_q).astype(plane_dtype)
+                    m1 = (r1 * gate_q).astype(plane_dtype)
                     nb0 = fxor(bT0, m0)
                     nb1 = fxor(bT1, m1)
                     dnx = seg_sum(nb0 * (1.0 - nb1) - bT0 * (1.0 - bT1))
@@ -340,17 +451,25 @@ def make_pallas_ladder_window(
                     dnz = seg_sum((1.0 - nb0) * nb1 - (1.0 - bT0) * bT1)
                     logr = -(btx * dnx + bty * dny + btz * dnz)  # (TB, SP)
                     logu_m = jnp.log(u_mix[1])
-                    acc_q = bcast((logu_m < logr).astype(jnp.float32))
+                    acc_q = bcast(
+                        (logu_m < logr).astype(jnp.float32)
+                    ).astype(plane_dtype)
                     bT0 = fxor(bT0, m0 * acc_q)
                     bT1 = fxor(bT1, m1 * acc_q)
                 rows0[Nc - 1] = bT0
                 rows1[Nc - 1] = bT1
 
             # --- 3) replica-exchange sweep, top -> bottom ---------------
-            # per-rung per-slot Pauli counts (TB, SP)
-            nxs = [seg_sum(rows0[i] * (1.0 - rows1[i])) for i in range(Nc)]
-            nys = [seg_sum(rows0[i] * rows1[i]) for i in range(Nc)]
-            nzs = [seg_sum((1.0 - rows0[i]) * rows1[i]) for i in range(Nc)]
+            # per-rung per-slot Pauli counts from the packed planes (with
+            # the pre-mix top replaced): one segment matmul per component
+            R0m = jnp.concatenate(rows0, axis=0)  # (NR, nq_pad)
+            R1m = jnp.concatenate(rows1, axis=0)
+            NX = seg_sum(R0m * (1.0 - R1m))  # (NR, SP)
+            NY = seg_sum(R0m * R1m)
+            NZ = seg_sum((1.0 - R0m) * R1m)
+            nxs = [NX[r * TB : (r + 1) * TB] for r in range(Nc)]
+            nys = [NY[r * TB : (r + 1) * TB] for r in range(Nc)]
+            nzs = [NZ[r * TB : (r + 1) * TB] for r in range(Nc)]
             u_sw = runif((Nc, TB, SP), use, t)
             use += 1
             for i in reversed(range(Nc - 1)):
@@ -365,7 +484,7 @@ def make_pallas_ladder_window(
                 acc = jnp.log(u_sw[i]) < logr  # (TB, SP)
                 accf = acc.astype(jnp.float32)
                 acci = acc.astype(jnp.int32)
-                acc_q = bcast(accf)  # (TB, nq_pad)
+                acc_q = bcast(accf).astype(plane_dtype)  # (TB, nq_pad)
                 for lst in (rows0, rows1):
                     hi, lo = lst[i + 1], lst[i]
                     lst[i] = lo + acc_q * (hi - lo)
@@ -386,10 +505,12 @@ def make_pallas_ladder_window(
             fls[0] = fls[0] * (1 - hit)
 
             # --- 5) bottom-rung class readout + accumulators ------------
-            feats = mm(rows0[0], ab_ref[0].astype(jnp.bfloat16)) + mm(
-                rows1[0], ab_ref[1].astype(jnp.bfloat16)
+            b0 = rows0[0]
+            b1 = rows1[0]
+            feats = mm(b0, ab_ref[0].astype(jnp.bfloat16)) + mm(
+                b1, ab_ref[1].astype(jnp.bfloat16)
             )  # (TB, NBW) integer-valued
-            par = feats - 2.0 * jnp.floor(feats * 0.5)  # mod 2
+            par = mod2(feats)
             bits = mm(par, pw_bf).astype(jnp.int32)  # (TB, SP) class bits
             burned = (tops >= tops_burn).astype(jnp.int32)  # (TB, SP)
             eq_idx = jnp.zeros((TB, SP), jnp.int32)
@@ -406,7 +527,6 @@ def make_pallas_ladder_window(
             )
             # energy in (SP, TB) layout so the trace buffer keeps TB in the
             # lane dim (slot-lane layouts would pad 8 -> 128 lanes in VMEM)
-            b0, b1 = rows0[0], rows1[0]
             energy_t = (
                 w_ref[0, 0] * seg_sum_t(b0 * (1.0 - b1))
                 + w_ref[0, 1] * seg_sum_t(b0 * b1)
@@ -415,28 +535,29 @@ def make_pallas_ladder_window(
             # accumulate chunk means in place (en_out zeroed at kernel start)
             tc = t // energy_chunk
             en_out[pl.ds(tc * SP, SP), :] += energy_t * (1.0 / energy_chunk)
-            return tuple(rows0) + tuple(rows1) + tuple(fls) + tuple(sws) + (
+            R0 = jnp.concatenate(rows0, axis=0)
+            R1 = jnp.concatenate(rows1, axis=0)
+            return (R0, R1) + tuple(fls) + tuple(sws) + (
                 tops, eq_count, since, burn_first
             )
 
         en_out[:] = jnp.zeros((n_chunks * SP, TB), jnp.float32)
         sws = [jnp.zeros((TB, SP), jnp.int32) for _ in range(Nc)]
-        carry = tuple(rows0) + tuple(rows1) + tuple(fls) + tuple(sws) + (
+        carry = (R0, R1) + tuple(fls) + tuple(sws) + (
             tops, eq_count, since, burn_first
         )
         carry = jax.lax.fori_loop(0, window, one_step, carry)
-        rows0 = carry[0:Nc]
-        rows1 = carry[Nc : 2 * Nc]
-        fls = carry[2 * Nc : 3 * Nc]
-        sws = carry[3 * Nc : 4 * Nc]
-        tops, eq_count, since, burn_first = carry[4 * Nc :]
+        R0, R1 = carry[0], carry[1]
+        fls = carry[2 : 2 + Nc]
+        sws = carry[2 + Nc : 2 + 2 * Nc]
+        tops, eq_count, since, burn_first = carry[2 + 2 * Nc :]
 
-        for i in range(Nc):
-            xi = rows0[i].astype(jnp.int32)
-            zi = rows1[i].astype(jnp.int32)
-            st_out[i] = ((xi * 1) ^ (zi * 3)).astype(jnp.uint8)
-            fl_out[i] = fls[i]
-            sw_out[i] = sws[i]
+        xi = R0.astype(jnp.int32)
+        zi = R1.astype(jnp.int32)
+        st_out[:] = ((xi * 1) ^ (zi * 3)).astype(jnp.uint8)
+        for r in range(Nc):
+            fl_out[r * TB : (r + 1) * TB] = fls[r]
+            sw_out[r * TB : (r + 1) * TB] = sws[r]
         tp_out[:] = tops
         eq_out[:] = eq_count
         sb_out[:] = since
@@ -446,6 +567,7 @@ def make_pallas_ladder_window(
     def raw(state, flag, tops0, eq_count, since_burn, seed, betas, weights):
         B0 = state.shape[0]
         n_rows = _round_up(-(-B0 // n_pack), TB)
+        n_tiles = n_rows // TB
         Bp = n_rows * n_pack
         # rung-major packed layout: syndrome b = row * n_pack + slot lives
         # in lanes [slot*inner, slot*inner+nq) of its row
@@ -461,10 +583,22 @@ def make_pallas_ladder_window(
                 jnp.zeros((Nc, n_rows, nq_pad), jnp.uint8)
                 .at[..., : n_pack * inner].set(st)
             )
+        # tile-major rung packing: tile i's block is rows
+        # [i*Nc*TB, (i+1)*Nc*TB) with rung r in its [r*TB, (r+1)*TB) slice
+        st = (
+            st.reshape(Nc, n_tiles, TB, nq_pad)
+            .transpose(1, 0, 2, 3)
+            .reshape(n_tiles * NR, nq_pad)
+        )
         flp = jnp.moveaxis(
             jnp.zeros((Bp, Nc), jnp.int32).at[:B0].set(flag), 1, 0
         ).reshape(Nc, n_rows, n_pack)
         fl = jnp.zeros((Nc, n_rows, SP), jnp.int32).at[:, :, :n_pack].set(flp)
+        fl = (
+            fl.reshape(Nc, n_tiles, TB, SP)
+            .transpose(1, 0, 2, 3)
+            .reshape(n_tiles * NR, SP)
+        )
         tp = jnp.zeros((n_rows, SP), jnp.int32).at[:, :n_pack].set(
             jnp.zeros((Bp,), jnp.int32).at[:B0].set(tops0)
             .reshape(n_rows, n_pack)
@@ -486,11 +620,12 @@ def make_pallas_ladder_window(
         betas2 = jnp.asarray(betas, jnp.float32).reshape(Nc, 3)
         w2 = jnp.asarray(weights, jnp.float32).reshape(1, 3)
 
-        grid = (n_rows // TB,)
+        grid = (n_tiles,)
         vmem = pltpu.VMEM
         consts = [
             pl.BlockSpec(memory_space=vmem) for _ in range(13)
         ]
+        limit = scoped_vmem_limit()
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -500,19 +635,17 @@ def make_pallas_ladder_window(
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # weights
                 *consts,  # sel,xop,zop,AB,DRW,SEG,BRD,BRD2,BRDEQ,PW,IOTP,
                 #           IOTE,SEGT
-                pl.BlockSpec((Nc, TB, nq_pad), lambda i: (0, i, 0),
+                pl.BlockSpec((NR, nq_pad), lambda i: (i, 0),
                              memory_space=vmem),
-                pl.BlockSpec((Nc, TB, SP), lambda i: (0, i, 0),
-                             memory_space=vmem),
+                pl.BlockSpec((NR, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, 128), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
             ],
             out_specs=[
-                pl.BlockSpec((Nc, TB, nq_pad), lambda i: (0, i, 0),
+                pl.BlockSpec((NR, nq_pad), lambda i: (i, 0),
                              memory_space=vmem),
-                pl.BlockSpec((Nc, TB, SP), lambda i: (0, i, 0),
-                             memory_space=vmem),
+                pl.BlockSpec((NR, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, 128), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
@@ -520,28 +653,27 @@ def make_pallas_ladder_window(
                              memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
-                pl.BlockSpec((Nc, TB, SP), lambda i: (0, i, 0),
-                             memory_space=vmem),
+                pl.BlockSpec((NR, SP), lambda i: (i, 0), memory_space=vmem),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((Nc, n_rows, nq_pad), jnp.uint8),
-                jax.ShapeDtypeStruct((Nc, n_rows, SP), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles * NR, nq_pad), jnp.uint8),
+                jax.ShapeDtypeStruct((n_tiles * NR, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_chunks * SP, n_rows), jnp.float32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
-                jax.ShapeDtypeStruct((Nc, n_rows, SP), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles * NR, SP), jnp.int32),
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
             # larger codes (d >= 9: nq_pad 256+, Nc = d rungs) need more
-            # scoped VMEM than the compiler's default 16 MiB ceiling
-            # (d=9/window=600 wants ~18 MiB of stack); v5e has 128 MiB of
-            # VMEM, so raise the per-kernel cap instead of shrinking the
-            # batch tile and wasting MXU occupancy
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+            # scoped VMEM than the compiler's default 16 MiB ceiling; the
+            # cap is derived from the detected device VMEM (None keeps the
+            # compiler default on small-VMEM generations)
+            compiler_params=(
+                None if interpret or limit is None
+                else pltpu.CompilerParams(vmem_limit_bytes=limit)
             ),
         )(seed2, betas2, w2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), jnp.asarray(AB), jnp.asarray(DRW),
@@ -549,6 +681,22 @@ def make_pallas_ladder_window(
           jnp.asarray(BRDEQ), jnp.asarray(PW), jnp.asarray(IOTP),
           jnp.asarray(IOTE), jnp.asarray(SEGT), st, fl, tp, eq, sb)
         st_o, fl_o, tp_o, eq_o, sb_o, en_o, ba_o, bf_o, sw_o = out
+        # undo the tile-major rung packing
+        st_o = (
+            st_o.reshape(n_tiles, Nc, TB, nq_pad)
+            .transpose(1, 0, 2, 3)
+            .reshape(Nc, n_rows, nq_pad)
+        )
+        fl_o = (
+            fl_o.reshape(n_tiles, Nc, TB, SP)
+            .transpose(1, 0, 2, 3)
+            .reshape(Nc, n_rows, SP)
+        )
+        sw_o = (
+            sw_o.reshape(n_tiles, Nc, TB, SP)
+            .transpose(1, 0, 2, 3)
+            .reshape(Nc, n_rows, SP)
+        )
 
         def unpack_slot(a):  # (n_rows, SP) -> (B0,)
             return a[:, :n_pack].reshape(Bp)[:B0]

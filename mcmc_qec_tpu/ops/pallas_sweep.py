@@ -30,6 +30,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sweep_compiler_params():
+    from .tpu_info import scoped_vmem_limit
+
+    limit = scoped_vmem_limit()
+    if limit is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def make_pallas_sweep(
     spec: CodeSpec,
     n_sweeps: int,
@@ -215,6 +224,10 @@ def make_pallas_sweep(
                 (batch_tile, nq_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            # large-d shapes (nq_pad >= 256) can exceed the compiler's
+            # default 16 MiB scoped-VMEM ceiling; raise it to a fraction
+            # of the detected device VMEM (None = keep default)
+            compiler_params=None if interpret else _sweep_compiler_params(),
         )(seed2, betas2, jnp.asarray(sel_all), jnp.asarray(xop_all),
           jnp.asarray(zop_all), *extra_args, padded)
         return (

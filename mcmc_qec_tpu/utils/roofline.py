@@ -57,6 +57,48 @@ def pallas_sweep_mxu_flops(
     return per_sweep * n_sweeps
 
 
+def pallas_ladder_mxu_flops(
+    spec: CodeSpec, Nc: int, window: int, iters: int, batch: int,
+    batch_tile: int = 256,
+) -> int:
+    """MXU FLOPs of one fused PT-ladder window call
+    (ops/pallas_ladder.py, rung-packed layout) on ``batch`` syndromes.
+
+    Dominant terms per ladder step, with NR = Nc * TB packed rows:
+      sweeps:   iters * n_colors * 4 matmuls of (NR, nq_pad)x(nq_pad, W_out)
+      exchange: 3 segment matmuls   of (NR, nq_pad)x(nq_pad, SP)
+      readout:  2 class matmuls     of (TB, nq_pad)x(nq_pad, 64)
+                + 3 energy matmuls  of (SP, nq_pad)x(nq_pad, TB)
+    The top-rung mix and slot broadcast/reduce matmuls are O(TB) and
+    contribute <5% for Nc >= 5; they are charged via the readout term's
+    64-wide bound.  Mirrors the kernel's padding arithmetic exactly.
+    """
+    tables = _color_tables(spec)
+    inner = _round_up(spec.nq, 32)
+    n_pack = max(1, 128 // inner)
+    nq_pad = _round_up(n_pack * inner, 128)
+    W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
+    W_out = n_pack * W_pad
+    n_colors = len(tables)
+    rows = _round_up(-(-batch // n_pack), batch_tile)
+    NR = Nc * rows
+    sweep = iters * n_colors * 4 * 2 * NR * nq_pad * W_out
+    exchange = 3 * 2 * NR * nq_pad * 8
+    readout = (2 * 2 * rows * nq_pad * 64) + (3 * 2 * 8 * nq_pad * rows)
+    return window * (sweep + exchange + readout)
+
+
+def fused_ladder_mfu(
+    spec: CodeSpec, Nc: int, window: int, iters: int, batch: int,
+    seconds_per_window: float, batch_tile: int = 256,
+) -> tuple[float, float]:
+    """(achieved_tflops, mfu_fraction) for a measured fused-window time."""
+    flops = pallas_ladder_mxu_flops(spec, Nc, window, iters, batch,
+                                    batch_tile)
+    achieved = flops / seconds_per_window / 1e12
+    return achieved, achieved / peak_bf16_tflops()
+
+
 def mfu_from_throughput(
     spec: CodeSpec, proposals_per_sec: float, batch: int, n_sweeps: int,
     batch_tile: int = 512,

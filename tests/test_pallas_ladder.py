@@ -35,15 +35,20 @@ def test_fused_engine_falls_back_off_tpu():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="fused kernel needs pltpu PRNG")
-@pytest.mark.parametrize("variant", ["depolarizing", "biased"])
+@pytest.mark.parametrize(
+    "variant", ["depolarizing", "biased", "depolarizing_exact"]
+)
 def test_fused_kernel_matches_xla_window(variant):
     """Class-occupation distribution, tops0 rate, late energy and per-rung
     swap acceptance of the fused kernel must match the XLA sweep window on
     the same replicated syndrome (distribution-level equivalence; RNG
     streams differ).  The biased variant exercises the nonzero-top-beta
     Metropolis logical mix and the d=5 chain-packed (2 syndromes/row)
-    layout.  Last verified on-chip 2026-08-19: TV 0.007 (depol) / 0.003
-    (biased), swap-acceptance per rung matching to 3 decimals."""
+    layout; depolarizing_exact exercises the top_exact parity mix (the
+    batched always-accept path production PTEQ uses for zero top betas).
+    Last verified on-chip 2026-08-19 (rung-packed kernel): TV 0.007
+    (depol) / 0.003 (biased), swap-acceptance per rung matching to 3
+    decimals."""
     from mcmc_qec_tpu.mcmc.ladder import (
         LadderState, beta_ladder_biased, beta_ladder_depolarizing,
         init_ladder,
@@ -63,8 +68,10 @@ def test_fused_kernel_matches_xla_window(variant):
     K = spec.n_classes
     w = jnp.ones((3,), jnp.float32)
 
-    fn = make_pallas_ladder_window(spec, Nc, W, iters, 0.5, 2,
-                                   batch_tile=128, energy_chunk=4)
+    fn = make_pallas_ladder_window(
+        spec, Nc, W, iters, 0.5, 2, batch_tile=128, energy_chunk=4,
+        top_exact=(variant == "depolarizing_exact"),
+    )
     ls = init_ladder(spec, states, Nc)
     st, fl, tp, eq, sb, en, ba, bf, sw = jax.jit(fn)(
         ls.state, ls.flag, ls.tops0, jnp.zeros((B, K), jnp.int32),
