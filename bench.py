@@ -106,6 +106,40 @@ def bench_stdc_decoder(d=5, B=1024, steps=450, droplets=4):
     return best, syn_rate
 
 
+def bench_fused_window(d=5, B=2048, W=600, iters=2):
+    """Raw fused PT-ladder window: ms per window, ladder-steps/s and the
+    MXU-accounting MFU (see utils/roofline.pallas_ladder_mxu_flops — the
+    kernel is VPU/issue-bound, not MXU-bound, so MFU is an accounting
+    figure; the roofline argument lives in RESULTS.md)."""
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+    from mcmc_qec_tpu.mcmc.ladder import init_ladder, beta_ladder_depolarizing
+    from mcmc_qec_tpu.ops.pallas_ladder import make_pallas_ladder_window
+    from mcmc_qec_tpu.utils.roofline import fused_ladder_mfu
+
+    spec = get_spec("toric", d)
+    Nc = d
+    states = sample_depolarizing(jax.random.PRNGKey(0), spec, 0.15, (B,))
+    betas = jnp.asarray(beta_ladder_depolarizing(0.15, Nc), jnp.float32)
+    ls = init_ladder(spec, states, Nc)
+    K = spec.n_classes
+    fn = jax.jit(make_pallas_ladder_window(
+        spec, Nc, W, iters, 0.5, 2, batch_tile=128, energy_chunk=12,
+        top_exact=True, equal_betas=True))
+    args = (ls.state, ls.flag, ls.tops0, jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B,), jnp.int32), 7, betas,
+            jnp.ones((3,), jnp.float32))
+    _force(fn(*args)[2])
+    best = 1e9
+    for i in range(4):
+        t0 = time.perf_counter()
+        _force(fn(*args)[2])
+        best = min(best, time.perf_counter() - t0)
+    _, mfu = fused_ladder_mfu(spec, Nc, W, iters, B, best,
+                              batch_tile=128, equal_betas=True)
+    return best * 1000, B * W / best, mfu
+
+
 def bench_pteq(B=2048, max_steps=8000):
     """PTEQ decoder throughput on hard syndromes (golden corpus when
     readable, synthetic p=0.15 errors otherwise): full parallel-tempering
@@ -169,6 +203,14 @@ def main():
             extra["pteq_hard_syndromes_per_sec_d5"] = round(bench_pteq(), 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.88:
+            ms, steps_s, mfu = bench_fused_window()
+            extra["fused_window_ms_d5"] = round(ms, 1)
+            extra["fused_ladder_steps_per_sec_d5"] = round(steps_s, 1)
+            extra["fused_ladder_mfu_d5"] = round(mfu, 4)
+    except Exception as e:  # pragma: no cover
+        extra["fused_window_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.9:
             extra["pallas_d9"] = round(bench_pallas(d=9), 1)

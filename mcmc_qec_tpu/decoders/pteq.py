@@ -64,12 +64,14 @@ class PTEQConfig:
     # dominates the host loop).  Forced to 1 when track_shortest needs
     # per-step energies.  Must divide ``window``.
     energy_chunk: int = 4
-    # batch compaction: once >= 3/4 of the current device batch has
-    # converged, repack the stragglers into the next power-of-two bucket so
-    # converged syndromes stop consuming device time.  Each new bucket
-    # shape compiles once (persistently cached); min_compact bounds the
-    # number of buckets.  compact=False pins the original batch shape.
+    # batch compaction: once the alive (unconverged) fraction of the
+    # current device batch drops to <= compact_frac, repack the stragglers
+    # into the next power-of-two bucket so converged syndromes stop
+    # consuming device time.  Each new bucket shape compiles once
+    # (persistently cached); min_compact bounds the number of buckets.
+    # compact=False pins the original batch shape.
     compact: bool = True
+    compact_frac: float = 0.5
     min_compact: int = 128
     # exact mid-decode checkpoint/resume: with ckpt_dir set, the full run
     # state (ladder, accumulators, convergence automaton, PRNG key, row
@@ -100,10 +102,12 @@ _WINDOW_CACHE = {}
 
 def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    track_shortest: bool = False,
-                   top_exact_accept: bool = False):
+                   top_exact_accept: bool = False,
+                   equal_betas: bool = False):
     C = 1 if track_shortest else cfg.energy_chunk
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept, C)
+           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept, C,
+           equal_betas)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
@@ -126,7 +130,7 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                 fused = make_pallas_ladder_window(
                     spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
                     cfg.tops_burn, batch_tile=tb, energy_chunk=C,
-                    top_exact=top_exact_accept,
+                    top_exact=top_exact_accept, equal_betas=equal_betas,
                 )
 
                 def window_fused(ls: LadderState, rkey, betas, eq_count,
@@ -224,8 +228,18 @@ def pteq_run(
     K = spec.n_classes
     # depolarizing (p_top=0.75) and alpha (pz_tilde_top=1) ladders have
     # exactly-zero top-rung betas -> always-accept logical mixing fast path
-    top_exact = bool(np.allclose(np.asarray(beta_ladder)[-1], 0.0, atol=1e-9))
-    window_fn = _get_window_fn(spec, Nc, cfg, track_shortest, top_exact)
+    bl = np.asarray(beta_ladder)
+    top_exact = bool(np.allclose(bl[-1], 0.0, atol=1e-9))
+    # depolarizing ladders have beta_x == beta_y == beta_z on every rung
+    # (and uniform energy weights): the fused kernel then runs its
+    # total-count fast path (one contraction per color instead of three)
+    eq_b = bool(
+        np.array_equal(bl[:, 0], bl[:, 1])
+        and np.array_equal(bl[:, 1], bl[:, 2])
+        and np.allclose(energy_weights, (1.0, 1.0, 1.0))
+    )
+    window_fn = _get_window_fn(spec, Nc, cfg, track_shortest, top_exact,
+                               eq_b)
 
     ls = init_ladder(spec, jnp.asarray(init_states, dtype=jnp.uint8), Nc)
     eq_count = jnp.zeros((B, K), dtype=jnp.int32)
@@ -338,13 +352,15 @@ def pteq_run(
             buckets = [int(b) for b in restored["buckets"]]
             w0 = int(meta["window_idx"]) + 1
 
-    for w in range(w0, n_windows):
-        key, k = jax.random.split(key)
-        out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
-        ls, eq_count, since_burn = out[:3]
+    def process_window(w, out):
+        """Fetch window ``w``'s outputs and advance the host convergence
+        automaton.  With pipelining the fetch (a device sync) happens while
+        the NEXT window already executes on device."""
+        nonlocal steps_done, cum, cum_rows, in_streak
         # one bundled device->host round trip per window (the remote-TPU
-        # tunnel makes each separate fetch expensive)
-        fetch = jax.device_get(out[3:] + (since_burn, eq_count))
+        # tunnel makes each separate fetch expensive); out[1]/out[2] are
+        # this window's own eq_count/since_burn
+        fetch = jax.device_get(out[3:] + (out[2], out[1]))
         energies = fetch[0]  # (W // C, B) chunk means
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
         swap_window = fetch[4]  # (Br, Nc-1) accepted swaps this window
@@ -434,52 +450,95 @@ def pteq_run(
                     snap_steps[orig] = steps_done
                     snap_tops[orig] = tops_now[idx]
                     converged[orig] = True
+
+    def compact_wanted():
+        """Repack stragglers into a smaller bucket once most of the device
+        batch has converged (each bucket shape compiles once, persistently
+        cached; converged rows otherwise burn device time until the cap)."""
+        if not (cfg.compact and Br > cfg.min_compact):
+            return False
+        real_idx = np.nonzero(rows >= 0)[0]
+        alive = real_idx[~converged[rows[real_idx]]]
+        if not (0 < len(alive) <= int(Br * cfg.compact_frac)):
+            return False
+        new_Br = max(cfg.min_compact, 1 << int(len(alive) - 1).bit_length())
+        return new_Br < Br
+
+    def do_compact():
+        nonlocal ls, eq_count, since_burn, cum, burn_start, conv_start
+        nonlocal in_streak, rows, Br
+        real_idx = np.nonzero(rows >= 0)[0]
+        alive_rows = real_idx[~converged[rows[real_idx]]]
+        n_alive = len(alive_rows)
+        new_Br = max(cfg.min_compact, 1 << int(n_alive - 1).bit_length())
+        if new_Br >= Br:
+            return
+        pad = new_Br - n_alive
+        sel = np.concatenate([alive_rows, np.repeat(alive_rows[:1], pad)])
+        sel_j = jnp.asarray(sel)
+        ls = LadderState(
+            jnp.take(ls.state, sel_j, axis=0),
+            jnp.take(ls.flag, sel_j, axis=0),
+            jnp.take(ls.tops0, sel_j, axis=0),
+        )
+        eq_count = jnp.take(eq_count, sel_j, axis=0)
+        since_burn = jnp.take(since_burn, sel_j, axis=0)
+        cum = np.ascontiguousarray(cum[:, sel])
+        burn_start = burn_start[sel]
+        conv_start = conv_start[sel]
+        in_streak = in_streak[sel]
+        rows = np.concatenate(
+            [rows[alive_rows], np.full(pad, -1, rows.dtype)]
+        )
+        Br = new_Br
+        buckets.append(new_Br)
+
+    # Window pipelining: dispatch window w+1 BEFORE fetching window w's
+    # results, so the fetch + host automaton (a large share of wall time
+    # over the remote-TPU tunnel) overlaps the next window's device
+    # execution.  Decisions still use each window's own fetched data, so
+    # snapshots are identical to the sequential loop; early convergence
+    # wastes at most the one in-flight window, and compaction flushes the
+    # pipeline first (its row remap must not race an in-flight shape).
+    # Disabled when checkpointing so a snapshot's device state and
+    # automaton state always come from the same window (exact resume).
+    pipelined = ckpt is None
+    pending = None  # (window_idx, out) dispatched but not yet processed
+    for w in range(w0, n_windows):
+        key, k = jax.random.split(key)
+        out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
+        ls, eq_count, since_burn = out[:3]
+        if not pipelined:
+            process_window(w, out)
             if converged.all():
                 break
-
-        # repack stragglers into a smaller bucket once most of the device
-        # batch has converged (each bucket shape compiles once, persistently
-        # cached; converged rows otherwise burn device time until the cap)
-        if cfg.compact and Br > cfg.min_compact:
-            real_idx = np.nonzero(rows >= 0)[0]
-            alive_rows = real_idx[~converged[rows[real_idx]]]
-            n_alive = len(alive_rows)
-            if 0 < n_alive <= Br // 4:
-                new_Br = max(
-                    cfg.min_compact, 1 << int(n_alive - 1).bit_length()
+            if compact_wanted():
+                do_compact()
+            if ckpt is not None and (w + 1 - w0) % max(cfg.ckpt_every, 1) == 0:
+                ckpt.save(
+                    w,
+                    _snapshot_tree(),
+                    {
+                        "sig": (B, Nc, K, cfg.window, spec.family, spec.size),
+                        "window_idx": w,
+                    },
                 )
-                if new_Br < Br:
-                    pad = new_Br - n_alive
-                    sel = np.concatenate(
-                        [alive_rows, np.repeat(alive_rows[:1], pad)]
-                    )
-                    sel_j = jnp.asarray(sel)
-                    ls = LadderState(
-                        jnp.take(ls.state, sel_j, axis=0),
-                        jnp.take(ls.flag, sel_j, axis=0),
-                        jnp.take(ls.tops0, sel_j, axis=0),
-                    )
-                    eq_count = jnp.take(eq_count, sel_j, axis=0)
-                    since_burn = jnp.take(since_burn, sel_j, axis=0)
-                    cum = np.ascontiguousarray(cum[:, sel])
-                    burn_start = burn_start[sel]
-                    conv_start = conv_start[sel]
-                    in_streak = in_streak[sel]
-                    rows = np.concatenate(
-                        [rows[alive_rows], np.full(pad, -1, rows.dtype)]
-                    )
-                    Br = new_Br
-                    buckets.append(new_Br)
-
-        if ckpt is not None and (w + 1 - w0) % max(cfg.ckpt_every, 1) == 0:
-            ckpt.save(
-                w,
-                _snapshot_tree(),
-                {
-                    "sig": (B, Nc, K, cfg.window, spec.family, spec.size),
-                    "window_idx": w,
-                },
-            )
+            continue
+        if pending is not None:
+            pw, pout = pending
+            pending = None
+            process_window(pw, pout)
+            if converged.all():
+                break  # drop the in-flight window (device time already spent)
+            if compact_wanted():
+                process_window(w, out)  # flush before remapping rows
+                if converged.all():
+                    break
+                do_compact()
+                continue
+        pending = (w, out)
+    if pending is not None:
+        process_window(*pending)
 
     # unconverged elements: snapshot at the end (with the reference's
     # "hit max steps" warning semantics, decoders.py:84-87)

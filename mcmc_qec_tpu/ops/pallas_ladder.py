@@ -126,6 +126,7 @@ def make_pallas_ladder_window(
     energy_chunk: int = 1,
     interpret: bool = False,
     top_exact: bool = False,
+    equal_betas: bool = False,
     plane_dtype=jnp.float32,
 ):
     """Build ``fn(state, flag, tops0, eq_count, since_burn, seed, betas,
@@ -149,6 +150,14 @@ def make_pallas_ladder_window(
     logical proposal accepts (src/mcmc.py:30) and the ``iters`` MH rounds
     collapse to one parity accumulation — all (iter, draw) one-hots are
     summed first and each draw table is contracted once, mod 2.
+
+    ``equal_betas``: the caller asserts beta_x == beta_y == beta_z on
+    every rung (depolarizing ladders: factor = (p/3)/(1-p) uniformly,
+    src/mcmc.py:16).  Acceptance then depends only on the TOTAL error
+    count, so the three per-Pauli delta contractions collapse to one
+    OR-plane contraction per color, the three exchange-sweep segment sums
+    to one, and the energy trace to one matmul — halving the kernel's MXU
+    and VPU work on the flagship depolarizing path.
 
     ``interpret`` runs the kernel through the TPU interpreter
     (pltpu.InterpretParams) so the full fused dataflow executes on CPU —
@@ -283,13 +292,16 @@ def make_pallas_ladder_window(
         # SMEM scalars, (NR, 1) f32 columns
         rid = jax.lax.broadcasted_iota(jnp.int32, (NR, 1), 0) // TB
         bx_col = jnp.zeros((NR, 1), jnp.float32)
-        by_col = jnp.zeros((NR, 1), jnp.float32)
-        bz_col = jnp.zeros((NR, 1), jnp.float32)
+        by_col = bz_col = None
+        if not equal_betas:
+            by_col = jnp.zeros((NR, 1), jnp.float32)
+            bz_col = jnp.zeros((NR, 1), jnp.float32)
         for r in range(Nc):
             is_r = (rid == r).astype(jnp.float32)
             bx_col = bx_col + is_r * betas_ref[r, 0]
-            by_col = by_col + is_r * betas_ref[r, 1]
-            bz_col = bz_col + is_r * betas_ref[r, 2]
+            if not equal_betas:
+                by_col = by_col + is_r * betas_ref[r, 1]
+                bz_col = bz_col + is_r * betas_ref[r, 2]
 
         x = st_ref[:].astype(jnp.int32)  # (NR, nq_pad) packed rungs
         R0 = ((x & 1) ^ ((x >> 1) & 1)).astype(plane_dtype)
@@ -339,14 +351,22 @@ def make_pallas_ladder_window(
                     xop, zop = xops[c], zops[c]
                     nb0 = fxor(R0, xop.astype(plane_dtype))
                     nb1 = fxor(R1, zop.astype(plane_dtype))
-                    d1 = nb0 * (1.0 - nb1) - R0 * (1.0 - R1)
-                    d2 = nb0 * nb1 - R0 * R1
-                    d3 = (1.0 - nb0) * nb1 - (1.0 - R0) * R1
-                    logr = -(
-                        bx_col * mm(d1, selT_bfs[c])
-                        + by_col * mm(d2, selT_bfs[c])
-                        + bz_col * mm(d3, selT_bfs[c])
-                    )  # (NR, W_out)
+                    if equal_betas:
+                        # total-count delta: OR(new) - OR(old), one
+                        # contraction (values in {-1, 0, 1}, bf16-exact)
+                        d_or = (nb0 + nb1 - nb0 * nb1) - (
+                            R0 + R1 - R0 * R1
+                        )
+                        logr = -(bx_col * mm(d_or, selT_bfs[c]))
+                    else:
+                        d1 = nb0 * (1.0 - nb1) - R0 * (1.0 - R1)
+                        d2 = nb0 * nb1 - R0 * R1
+                        d3 = (1.0 - nb0) * nb1 - (1.0 - R0) * R1
+                        logr = -(
+                            bx_col * mm(d1, selT_bfs[c])
+                            + by_col * mm(d2, selT_bfs[c])
+                            + bz_col * mm(d3, selT_bfs[c])
+                        )  # (NR, W_out)
                     accept = (logu_all[c] < logr).astype(jnp.bfloat16)
                     acc_q = jax.lax.dot_general(
                         accept, sel_bfs[c],
@@ -464,23 +484,37 @@ def make_pallas_ladder_window(
             # the pre-mix top replaced): one segment matmul per component
             R0m = jnp.concatenate(rows0, axis=0)  # (NR, nq_pad)
             R1m = jnp.concatenate(rows1, axis=0)
-            NX = seg_sum(R0m * (1.0 - R1m))  # (NR, SP)
-            NY = seg_sum(R0m * R1m)
-            NZ = seg_sum((1.0 - R0m) * R1m)
-            nxs = [NX[r * TB : (r + 1) * TB] for r in range(Nc)]
-            nys = [NY[r * TB : (r + 1) * TB] for r in range(Nc)]
-            nzs = [NZ[r * TB : (r + 1) * TB] for r in range(Nc)]
+            if equal_betas:
+                # only total counts matter for the swap rule and energy
+                NE = seg_sum(R0m + R1m - R0m * R1m)  # (NR, SP)
+                count_lists = [
+                    [NE[r * TB : (r + 1) * TB] for r in range(Nc)]
+                ]
+            else:
+                NX = seg_sum(R0m * (1.0 - R1m))  # (NR, SP)
+                NY = seg_sum(R0m * R1m)
+                NZ = seg_sum((1.0 - R0m) * R1m)
+                count_lists = [
+                    [M[r * TB : (r + 1) * TB] for r in range(Nc)]
+                    for M in (NX, NY, NZ)
+                ]
             u_sw = runif((Nc, TB, SP), use, t)
             use += 1
             for i in reversed(range(Nc - 1)):
-                dbx = betas_ref[i + 1, 0] - betas_ref[i, 0]
-                dby = betas_ref[i + 1, 1] - betas_ref[i, 1]
-                dbz = betas_ref[i + 1, 2] - betas_ref[i, 2]
-                logr = (
-                    dbx * (nxs[i + 1] - nxs[i])
-                    + dby * (nys[i + 1] - nys[i])
-                    + dbz * (nzs[i + 1] - nzs[i])
-                )  # (TB, SP)
+                if equal_betas:
+                    db = betas_ref[i + 1, 0] - betas_ref[i, 0]
+                    nes = count_lists[0]
+                    logr = db * (nes[i + 1] - nes[i])  # (TB, SP)
+                else:
+                    nxs, nys, nzs = count_lists
+                    dbx = betas_ref[i + 1, 0] - betas_ref[i, 0]
+                    dby = betas_ref[i + 1, 1] - betas_ref[i, 1]
+                    dbz = betas_ref[i + 1, 2] - betas_ref[i, 2]
+                    logr = (
+                        dbx * (nxs[i + 1] - nxs[i])
+                        + dby * (nys[i + 1] - nys[i])
+                        + dbz * (nzs[i + 1] - nzs[i])
+                    )  # (TB, SP)
                 acc = jnp.log(u_sw[i]) < logr  # (TB, SP)
                 accf = acc.astype(jnp.float32)
                 acci = acc.astype(jnp.int32)
@@ -489,7 +523,7 @@ def make_pallas_ladder_window(
                     hi, lo = lst[i + 1], lst[i]
                     lst[i] = lo + acc_q * (hi - lo)
                     lst[i + 1] = hi + acc_q * (lo - hi)
-                for lst in (nxs, nys, nzs):
+                for lst in count_lists:
                     hi, lo = lst[i + 1], lst[i]
                     lst[i] = lo + accf * (hi - lo)
                     lst[i + 1] = hi + accf * (lo - hi)
@@ -513,9 +547,14 @@ def make_pallas_ladder_window(
             par = mod2(feats)
             bits = mm(par, pw_bf).astype(jnp.int32)  # (TB, SP) class bits
             burned = (tops >= tops_burn).astype(jnp.int32)  # (TB, SP)
-            eq_idx = jnp.zeros((TB, SP), jnp.int32)
-            for v in range(len(bits_to_eq)):
-                eq_idx = eq_idx + (bits == v).astype(jnp.int32) * bits_to_eq[v]
+            if bits_to_eq == list(range(len(bits_to_eq))):
+                eq_idx = bits  # identity bit->class map (e.g. toric)
+            else:
+                eq_idx = jnp.zeros((TB, SP), jnp.int32)
+                for v in range(len(bits_to_eq)):
+                    eq_idx = eq_idx + (
+                        bits == v
+                    ).astype(jnp.int32) * bits_to_eq[v]
             eq_l = mm(eq_idx.astype(jnp.float32), brdeq_bf)  # (TB, 128)
             burned_l = mm(burned.astype(jnp.float32), brdeq_bf)
             onehot = (iote_ref[:] == eq_l).astype(jnp.float32) * burned_l
@@ -527,11 +566,16 @@ def make_pallas_ladder_window(
             )
             # energy in (SP, TB) layout so the trace buffer keeps TB in the
             # lane dim (slot-lane layouts would pad 8 -> 128 lanes in VMEM)
-            energy_t = (
-                w_ref[0, 0] * seg_sum_t(b0 * (1.0 - b1))
-                + w_ref[0, 1] * seg_sum_t(b0 * b1)
-                + w_ref[0, 2] * seg_sum_t((1.0 - b0) * b1)
-            )  # (SP, TB)
+            if equal_betas:
+                # equal betas come with uniform energy weights (count
+                # of errors, decoders.py:99): one segment matmul
+                energy_t = w_ref[0, 0] * seg_sum_t(b0 + b1 - b0 * b1)
+            else:
+                energy_t = (
+                    w_ref[0, 0] * seg_sum_t(b0 * (1.0 - b1))
+                    + w_ref[0, 1] * seg_sum_t(b0 * b1)
+                    + w_ref[0, 2] * seg_sum_t((1.0 - b0) * b1)
+                )  # (SP, TB)
             # accumulate chunk means in place (en_out zeroed at kernel start)
             tc = t // energy_chunk
             en_out[pl.ds(tc * SP, SP), :] += energy_t * (1.0 / energy_chunk)

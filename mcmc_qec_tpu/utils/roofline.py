@@ -59,19 +59,26 @@ def pallas_sweep_mxu_flops(
 
 def pallas_ladder_mxu_flops(
     spec: CodeSpec, Nc: int, window: int, iters: int, batch: int,
-    batch_tile: int = 256,
+    batch_tile: int = 128, equal_betas: bool = False,
 ) -> int:
     """MXU FLOPs of one fused PT-ladder window call
     (ops/pallas_ladder.py, rung-packed layout) on ``batch`` syndromes.
 
-    Dominant terms per ladder step, with NR = Nc * TB packed rows:
-      sweeps:   iters * n_colors * 4 matmuls of (NR, nq_pad)x(nq_pad, W_out)
-      exchange: 3 segment matmuls   of (NR, nq_pad)x(nq_pad, SP)
+    Dominant terms per ladder step, with NR = Nc * TB packed rows and
+    D = 1 delta contraction per color on the equal-betas (depolarizing)
+    path or 3 on the general path:
+      sweeps:   iters * n_colors * (D+1) matmuls (NR, nq_pad)x(nq_pad, W_out)
+      exchange: D segment matmuls   of (NR, nq_pad)x(nq_pad, SP)
       readout:  2 class matmuls     of (TB, nq_pad)x(nq_pad, 64)
-                + 3 energy matmuls  of (SP, nq_pad)x(nq_pad, TB)
+                + D energy matmuls  of (SP, nq_pad)x(nq_pad, TB)
     The top-rung mix and slot broadcast/reduce matmuls are O(TB) and
     contribute <5% for Nc >= 5; they are charged via the readout term's
     64-wide bound.  Mirrors the kernel's padding arithmetic exactly.
+
+    NOTE (measured, RESULTS.md 'fused-ladder roofline'): the kernel is
+    NOT MXU-bound — the sweep phase sits at ~1.2x the VPU elementwise
+    bound and the fixed phase is the sequential exchange chain at issue
+    latency — so this MFU is an accounting figure, not the headroom.
     """
     tables = _color_tables(spec)
     inner = _round_up(spec.nq, 32)
@@ -82,19 +89,21 @@ def pallas_ladder_mxu_flops(
     n_colors = len(tables)
     rows = _round_up(-(-batch // n_pack), batch_tile)
     NR = Nc * rows
-    sweep = iters * n_colors * 4 * 2 * NR * nq_pad * W_out
-    exchange = 3 * 2 * NR * nq_pad * 8
-    readout = (2 * 2 * rows * nq_pad * 64) + (3 * 2 * 8 * nq_pad * rows)
+    D = 1 if equal_betas else 3
+    sweep = iters * n_colors * (D + 1) * 2 * NR * nq_pad * W_out
+    exchange = D * 2 * NR * nq_pad * 8
+    readout = (2 * 2 * rows * nq_pad * 64) + (D * 2 * 8 * nq_pad * rows)
     return window * (sweep + exchange + readout)
 
 
 def fused_ladder_mfu(
     spec: CodeSpec, Nc: int, window: int, iters: int, batch: int,
-    seconds_per_window: float, batch_tile: int = 256,
+    seconds_per_window: float, batch_tile: int = 128,
+    equal_betas: bool = False,
 ) -> tuple[float, float]:
     """(achieved_tflops, mfu_fraction) for a measured fused-window time."""
     flops = pallas_ladder_mxu_flops(spec, Nc, window, iters, batch,
-                                    batch_tile)
+                                    batch_tile, equal_betas)
     achieved = flops / seconds_per_window / 1e12
     return achieved, achieved / peak_bf16_tflops()
 

@@ -71,6 +71,7 @@ def test_fused_kernel_matches_xla_window(variant):
     fn = make_pallas_ladder_window(
         spec, Nc, W, iters, 0.5, 2, batch_tile=128, energy_chunk=4,
         top_exact=(variant == "depolarizing_exact"),
+        equal_betas=(variant == "depolarizing_exact"),
     )
     ls = init_ladder(spec, states, Nc)
     st, fl, tp, eq, sb, en, ba, bf, sw = jax.jit(fn)(
