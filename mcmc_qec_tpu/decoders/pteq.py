@@ -21,7 +21,7 @@ percentages (decoders.py:89).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ from ..mcmc.ladder import (
     init_ladder,
     make_ladder_step,
 )
-from .convergence import error_based_accept
+from .convergence import EnergyHistory, error_based_accept
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,14 +56,25 @@ class PTEQConfig:
     # literal (reference cadence) | sweep (TPU-fast, XLA) | fused (whole
     # window in one Pallas VMEM kernel — fastest; requires TPU and no
     # track_shortest, else falls back to sweep; any beta ladder incl.
-    # biased nonzero-top rungs)
+    # biased nonzero-top rungs).  track_shortest runs its dedup fully on
+    # device (bounded unique-key buffers in the scan carry), so it no
+    # longer forces per-step host traces, energy_chunk=1 or no-ckpt.
     engine: str = "literal"
     # energy-trace coarsening: the device returns per-chunk means instead
     # of per-step energies (the felkriteriet quarter means are unchanged at
     # chunk resolution; fetching per-step traces over the remote-TPU tunnel
-    # dominates the host loop).  Forced to 1 when track_shortest needs
-    # per-step energies.  Must divide ``window``.
+    # dominates the host loop).  Must divide ``window``.
     energy_chunk: int = 4
+    # bounded convergence-automaton memory: the energy history keeps at
+    # most cum_rows_cap group rows per element (group span doubles when the
+    # cap is hit), so host RAM is O(B * cum_rows_cap) for any max_steps —
+    # see decoders/convergence.EnergyHistory for the accuracy argument
+    cum_rows_cap: int = 4096
+    # track_shortest: per-(element, class) cap on the on-device buffer of
+    # unique shortest-n_eff chain keys.  The reference's host sets are
+    # unbounded (decoders_biasednoise.py:112-144); beyond the cap the
+    # unique count saturates and PTEQResult.shortest_overflow flags it.
+    shortest_unique_cap: int = 128
     # batch compaction: once the alive (unconverged) fraction of the
     # current device batch drops to <= compact_frac, repack the stragglers
     # into the next power-of-two bucket so converged syndromes stop
@@ -93,8 +104,80 @@ class PTEQResult:
     # decoders_biasednoise.py:163-172):
     shortest_boltzmann: Optional[np.ndarray] = None  # (B, K) percentages
     shortest_counts: Optional[np.ndarray] = None  # (B, K) percentages
+    # (B, K) True where the unique-shortest buffer overflowed
+    # (shortest_unique_cap); unique counts there are lower bounds
+    shortest_overflow: Optional[np.ndarray] = None
     # device-batch sizes after each compaction (empty = never compacted)
     buckets: Tuple[int, ...] = ()
+
+
+class ShortestState(NamedTuple):
+    """On-device shortest-n_eff tracking (decoders_biasednoise.py:112-144,
+    TPU-native): per (element, class) the running minimal energy, the
+    number of samples at that minimum, and a bounded buffer of distinct
+    chain keys at that minimum (dedup via ops/pauli.pack_key 64-bit
+    universal hashes instead of host Python sets).  Lives in the window
+    scan carry — no per-step host traffic."""
+
+    val: jax.Array  # (B, K) f32 running min energy (+inf init)
+    cnt: jax.Array  # (B, K) i32 samples at the min
+    nuq: jax.Array  # (B, K) i32 distinct keys recorded at the min
+    ovf: jax.Array  # (B, K) bool buffer overflow (nuq saturated)
+    keys: jax.Array  # (B, K, U, 2) u32 distinct-key buffer
+
+
+# key width: 4 i32 components — the fused kernel's 4x17-bit exact hash,
+# or pack_key's two u32 halves (bitcast) padded with zeros on the XLA path
+KEY_W = 4
+
+
+def init_shortest(B: int, K: int, U: int) -> ShortestState:
+    return ShortestState(
+        val=jnp.full((B, K), jnp.inf, jnp.float32),
+        cnt=jnp.zeros((B, K), jnp.int32),
+        nuq=jnp.zeros((B, K), jnp.int32),
+        ovf=jnp.zeros((B, K), bool),
+        keys=jnp.zeros((B, K, U, KEY_W), jnp.int32),
+    )
+
+
+def _shortest_update(sh: ShortestState, eq: jax.Array, kk: jax.Array,
+                     e: jax.Array, burned: jax.Array) -> ShortestState:
+    """One post-step update: element b's class-``eq[b]`` row sees a chain
+    with key ``kk[b]`` at energy ``e[b]`` (ignored unless ``burned[b]``).
+    A strictly smaller energy resets the row; an equal energy increments
+    the count and appends the key if unseen (O(U) membership compare).
+
+    Implemented as dense masked updates over the full (B, K, ...) arrays
+    (K is 4 or 16): inside a lax.scan a per-class scatter/gather is far
+    slower on TPU than the ~B*K*U elementwise compares."""
+    B, K = sh.val.shape
+    U = sh.keys.shape[2]
+    onek = jnp.arange(K)[None, :] == eq[:, None]  # (B, K)
+    gate = onek & (burned > 0)[:, None]
+    e_bk = e[:, None]
+    better = gate & (e_bk < sh.val)  # (B, K)
+    equal = gate & (e_bk == sh.val)
+    slot_idx = jnp.arange(U)[None, None, :]  # (1, 1, U)
+    valid = slot_idx < sh.nuq[..., None]  # (B, K, U)
+    match = jnp.all(sh.keys == kk[:, None, None, :], axis=-1)  # (B, K, U)
+    present = jnp.any(valid & match, axis=-1)  # (B, K)
+    append = equal & ~present & (sh.nuq < U)
+    ovf_new = equal & ~present & (sh.nuq >= U)
+    write = better | append
+    slot = jnp.where(better, 0, sh.nuq)  # (B, K)
+    onehot = slot_idx == slot[..., None]  # (B, K, U)
+    buf_base = jnp.where(better[..., None, None],
+                         jnp.zeros_like(sh.keys), sh.keys)
+    new_keys = jnp.where((write[..., None] & onehot)[..., None],
+                         kk[:, None, None, :], buf_base)
+    return ShortestState(
+        val=jnp.where(better, e_bk, sh.val),
+        cnt=jnp.where(better, 1, sh.cnt + equal.astype(jnp.int32)),
+        nuq=jnp.where(better, 1, sh.nuq + append.astype(jnp.int32)),
+        ovf=jnp.where(better, False, sh.ovf | ovf_new),
+        keys=new_keys,
+    )
 
 
 _WINDOW_CACHE = {}
@@ -104,18 +187,21 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    track_shortest: bool = False,
                    top_exact_accept: bool = False,
                    equal_betas: bool = False):
-    C = 1 if track_shortest else cfg.energy_chunk
+    C = cfg.energy_chunk
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
            cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept, C,
-           equal_betas)
+           equal_betas, cfg.shortest_unique_cap)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
     engine = cfg.engine
     if engine == "fused":
         # the fused kernel's top-rung logical mix is a general Metropolis
-        # accept, so nonzero top betas (PTEQ_biased ladders) run fused too
-        if jax.default_backend() == "tpu" and not track_shortest:
+        # accept, so nonzero top betas (PTEQ_biased ladders) run fused too;
+        # track_shortest runs fused as well — the kernel emits per-step
+        # (class, energy, hash) traces and an on-device scan applies the
+        # dedup update (VERDICT r2 task 2: fused engine allowed)
+        if jax.default_backend() == "tpu":
             from ..ops.pallas_ladder import (
                 make_pallas_ladder_window,
                 pick_batch_tile,
@@ -124,26 +210,52 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
             # 128 measured best end-to-end: larger tiles don't speed the
             # full-batch windows but quadruple the padding waste on small
             # post-compaction buckets (B=128 pads to 512 rows at tile 256)
-            tb = pick_batch_tile(spec, Nc, cfg.window, cfg.iters, C,
-                                 requested=128)
+            Ck = 1 if track_shortest else C  # tracking needs per-step en
+            tb = pick_batch_tile(spec, Nc, cfg.window, cfg.iters, Ck,
+                                 requested=128,
+                                 track_traces=track_shortest)
             if tb > 0:
                 fused = make_pallas_ladder_window(
                     spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
-                    cfg.tops_burn, batch_tile=tb, energy_chunk=C,
+                    cfg.tops_burn, batch_tile=tb, energy_chunk=Ck,
                     top_exact=top_exact_accept, equal_betas=equal_betas,
+                    track_traces=track_shortest,
                 )
 
                 def window_fused(ls: LadderState, rkey, betas, eq_count,
-                                 since_burn, weights):
+                                 since_burn, weights, sh=None):
                     seed = jax.random.randint(rkey, (), 0, 2**31 - 1)
-                    st, fl, tp, eq, sb, en, ba, bf, sw = fused(
+                    out = fused(
                         ls.state, ls.flag, ls.tops0, eq_count, since_burn,
                         seed, betas, weights,
                     )
-                    return (LadderState(st, fl, tp), eq, sb, en, ba, bf, tp,
-                            sw)
+                    st, fl, tp, eq, sb, en, ba, bf, sw = out[:9]
+                    extras = ()
+                    if track_shortest:
+                        eq_tr, key_tr = out[9], out[10]
+                        W_ = eq_tr.shape[0]
 
-                fn = jax.jit(window_fused, donate_argnums=(0,))
+                        def post(sh, inp):
+                            t, eq_t, en_t, kk_t = inp
+                            # burned is monotone within the window, so the
+                            # per-step flag reconstructs exactly from
+                            # (burn_any, burn_first)
+                            burned_t = (ba & (t >= bf)).astype(jnp.int32)
+                            return _shortest_update(
+                                sh, eq_t, kk_t, en_t, burned_t
+                            ), None
+
+                        sh, _ = jax.lax.scan(
+                            post, sh, (jnp.arange(W_), eq_tr, en, key_tr)
+                        )
+                        extras = (sh,)
+                        if C > 1:  # chunk means for the host automaton
+                            en = en.reshape(W_ // C, C, -1).mean(axis=1)
+                    return (LadderState(st, fl, tp), eq, sb, en, ba, bf,
+                            tp, sw) + extras
+
+                donate = (0, 6) if track_shortest else (0,)
+                fn = jax.jit(window_fused, donate_argnums=donate)
                 _WINDOW_CACHE[key] = fn
                 return fn
             # else: fused state for this (d, Nc, window) exceeds device
@@ -159,16 +271,21 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
 
         mults = jnp.asarray(make_hash_mults(spec))
 
-    def window(ls: LadderState, rkey, betas, eq_count, since_burn, weights):
+    def window(ls: LadderState, rkey, betas, eq_count, since_burn, weights,
+               sh: Optional[ShortestState] = None):
         """Run cfg.window ladder steps; accumulate post-burn class counts.
 
         weights: (3,) energy weights for the felkriteriet trace — (1,1,1)
         for depolarizing/biased (count_errors) or (alpha, alpha, 1) for
         alpha noise (n_eff, decoders_biasednoise.py:128).
+
+        With track_shortest, ``sh`` (a ShortestState) rides the scan carry
+        and is returned as the last output — all dedup happens on device
+        (VERDICT r2 task 2: no per-(step, element) host loop).
         """
 
         def body(carry, k):
-            ls, eq_count, since_burn, swap_sum = carry
+            ls, eq_count, since_burn, swap_sum, sh = carry
             ls, bottom_eq, n_xyz0, swap_acc = ladder_step(ls, k, betas)
             burned = (ls.tops0 >= cfg.tops_burn).astype(jnp.int32)  # (B,)
             B = bottom_eq.shape[0]
@@ -176,15 +293,20 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
             since_burn = since_burn + burned
             swap_sum = swap_sum + swap_acc  # (B, Nc-1) window accumulator
             energy = jnp.sum(weights * n_xyz0, axis=-1)  # (B,)
-            out = (energy, burned)
             if track_shortest:
-                out = out + (bottom_eq, pack_key(spec, ls.state[:, 0], mults))
-            return (ls, eq_count, since_burn, swap_sum), out
+                kk = pack_key(spec, ls.state[:, 0], mults)  # (B, 2) u32
+                kk = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(kk, jnp.int32),
+                     jnp.zeros(kk.shape[:-1] + (KEY_W - 2,), jnp.int32)],
+                    axis=-1,
+                )
+                sh = _shortest_update(sh, bottom_eq, kk, energy, burned)
+            return (ls, eq_count, since_burn, swap_sum, sh), (energy, burned)
 
         keys = jax.random.split(rkey, cfg.window)
         swap0 = jnp.zeros(eq_count.shape[:1] + (Nc - 1,), jnp.int32)
-        (ls, eq_count, since_burn, swap_sum), outs = jax.lax.scan(
-            body, (ls, eq_count, since_burn, swap0), keys
+        (ls, eq_count, since_burn, swap_sum, sh), outs = jax.lax.scan(
+            body, (ls, eq_count, since_burn, swap0, sh), keys
         )
         # compact summaries computed on device so the host fetches (B,)-sized
         # arrays, not (W, B) traces (the TPU is reached over a high-latency
@@ -196,11 +318,12 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
         if C > 1:
             W_, B_ = energies.shape
             energies = energies.reshape(W_ // C, C, B_).mean(axis=1)
-        extras = tuple(outs[2:]) if track_shortest else ()
+        extras = (sh,) if track_shortest else ()
         return (ls, eq_count, since_burn, energies, burn_any, burn_first,
                 ls.tops0, swap_sum) + extras
 
-    fn = jax.jit(window, donate_argnums=(0,))
+    donate = (0, 6) if track_shortest else (0,)
+    fn = jax.jit(window, donate_argnums=donate)
     _WINDOW_CACHE[key] = fn
     return fn
 
@@ -261,8 +384,7 @@ def pteq_run(
     Br = B
     rows = np.arange(B)
     buckets = []
-    cum = np.zeros((1 + 4 * cfg.window, B))
-    cum_rows = 1
+    hist = EnergyHistory(B, max_rows=cfg.cum_rows_cap)
     burn_start = np.full(B, -1, dtype=np.int64)  # first post-burn step idx
     conv_start = np.zeros(B, dtype=np.int64)  # tops0 at start of streak
     in_streak = np.zeros(B, dtype=bool)
@@ -271,15 +393,39 @@ def pteq_run(
     snap_steps = np.zeros(B, dtype=np.int64)
     snap_tops = np.zeros(B, dtype=np.int64)
 
-    # shortest-chain tracking (decoders_biasednoise.py:112-144)
-    sh_val = np.full((B, K), np.inf)
-    sh_count = np.zeros((B, K), dtype=np.int64)
-    sh_unique = [[set() for _ in range(K)] for _ in range(B)]
+    # shortest-chain tracking (decoders_biasednoise.py:112-144): the
+    # running state lives ON DEVICE in the window scan carry
+    # (ShortestState); rows are finalized into these host arrays when they
+    # leave the device batch (compaction) or when the run ends
+    sh = None
+    if track_shortest:
+        sh = init_shortest(B, K, cfg.shortest_unique_cap)
+        sh_val_h = np.full((B, K), np.inf)
+        sh_cnt_h = np.zeros((B, K), dtype=np.int64)
+        sh_nuq_h = np.zeros((B, K), dtype=np.int64)
+        sh_ovf_h = np.zeros((B, K), dtype=bool)
+
+        def finalize_sh(row_sel):
+            """Flush device shortest stats for current-batch rows
+            ``row_sel`` into the original-index host arrays."""
+            row_sel = np.asarray(row_sel, dtype=np.int64)
+            if len(row_sel) == 0:
+                return
+            fv, fc, fn_, fo = jax.device_get(
+                (sh.val[row_sel], sh.cnt[row_sel], sh.nuq[row_sel],
+                 sh.ovf[row_sel])
+            )
+            orig = rows[row_sel]
+            ok = orig >= 0
+            sh_val_h[orig[ok]] = fv[ok]
+            sh_cnt_h[orig[ok]] = fc[ok]
+            sh_nuq_h[orig[ok]] = fn_[ok]
+            sh_ovf_h[orig[ok]] = fo[ok]
 
     steps_done = 0
     # energy-trace resolution: the device returns per-chunk means (C steps
     # per row); all cum/quarter-mean indices below are in chunk units
-    C = 1 if track_shortest else cfg.energy_chunk
+    C = cfg.energy_chunk
     if cfg.window % C != 0:
         raise ValueError(
             f"window ({cfg.window}) must be divisible by energy_chunk ({C})"
@@ -290,11 +436,6 @@ def pteq_run(
     ckpt = None
     w0 = 0
     if cfg.ckpt_dir:
-        if track_shortest:
-            raise ValueError(
-                "ckpt_dir is not supported with track_shortest (the "
-                "unique-shortest sets are host-side hash sets)"
-            )
         from ..utils.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(cfg.ckpt_dir)
@@ -308,7 +449,7 @@ def pteq_run(
                 "since_burn": np.asarray(since_burn),
                 "key": np.asarray(key),
                 "rows": rows,
-                "cum": cum[:cum_rows],
+                **{f"hist_{k2}": v for k2, v in hist.snapshot().items()},
                 "burn_start": burn_start,
                 "conv_start": conv_start,
                 "in_streak": in_streak,
@@ -318,6 +459,20 @@ def pteq_run(
                 "snap_tops": snap_tops,
                 "steps_done": np.asarray(steps_done),
                 "buckets": np.asarray(buckets, dtype=np.int64),
+                **(
+                    {
+                        "sh_val": np.asarray(sh.val),
+                        "sh_cnt": np.asarray(sh.cnt),
+                        "sh_nuq": np.asarray(sh.nuq),
+                        "sh_ovf": np.asarray(sh.ovf),
+                        "sh_keys": np.asarray(sh.keys),
+                        "sh_val_h": sh_val_h,
+                        "sh_cnt_h": sh_cnt_h,
+                        "sh_nuq_h": sh_nuq_h,
+                        "sh_ovf_h": sh_ovf_h,
+                    }
+                    if track_shortest else {}
+                ),
             }
 
         restored, meta = ckpt.restore_latest(_snapshot_tree())
@@ -338,9 +493,14 @@ def pteq_run(
             key = jnp.asarray(restored["key"])
             rows = restored["rows"]
             Br = len(rows)
-            cum_rows = restored["cum"].shape[0]
-            cum = np.zeros((max(cum_rows + 4 * cfg.window, 1), Br))
-            cum[:cum_rows] = restored["cum"]
+            hist = EnergyHistory.restore(
+                {
+                    "cum": restored["hist_cum"],
+                    "ccnt": restored["hist_ccnt"],
+                    "span": restored["hist_span"],
+                },
+                max_rows=cfg.cum_rows_cap,
+            )
             burn_start = restored["burn_start"]
             conv_start = restored["conv_start"]
             in_streak = restored["in_streak"]
@@ -350,54 +510,42 @@ def pteq_run(
             snap_tops = restored["snap_tops"]
             steps_done = int(restored["steps_done"])
             buckets = [int(b) for b in restored["buckets"]]
+            if track_shortest:
+                sh = ShortestState(
+                    jnp.asarray(restored["sh_val"]),
+                    jnp.asarray(restored["sh_cnt"]),
+                    jnp.asarray(restored["sh_nuq"]),
+                    jnp.asarray(restored["sh_ovf"]),
+                    jnp.asarray(restored["sh_keys"]),
+                )
+                sh_val_h = restored["sh_val_h"]
+                sh_cnt_h = restored["sh_cnt_h"]
+                sh_nuq_h = restored["sh_nuq_h"]
+                sh_ovf_h = restored["sh_ovf_h"]
             w0 = int(meta["window_idx"]) + 1
 
     def process_window(w, out):
         """Fetch window ``w``'s outputs and advance the host convergence
         automaton.  With pipelining the fetch (a device sync) happens while
         the NEXT window already executes on device."""
-        nonlocal steps_done, cum, cum_rows, in_streak
+        nonlocal steps_done, in_streak
         # one bundled device->host round trip per window (the remote-TPU
         # tunnel makes each separate fetch expensive); out[1]/out[2] are
-        # this window's own eq_count/since_burn
-        fetch = jax.device_get(out[3:] + (out[2], out[1]))
+        # this window's own eq_count/since_burn.  Shortest-chain tracking
+        # stays entirely on device (out[8], never fetched here).
+        fetch = jax.device_get(out[3:8] + (out[2], out[1]))
         energies = fetch[0]  # (W // C, B) chunk means
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
         swap_window = fetch[4]  # (Br, Nc-1) accepted swaps this window
         Wc = energies.shape[0]
         W = Wc * C
-        if track_shortest:
-            eq_trace, key_trace = fetch[5], fetch[6]  # (W, Br), (W, Br, 2)
-            for t in range(W):
-                # burned before this window, or burned at step <= t within it
-                post_burn = (burn_start >= 0) | (burn_any & (burn_first <= t))
-                post_burn &= rows >= 0
-                for b in np.nonzero(post_burn)[0]:
-                    ob = rows[b]
-                    e = energies[t, b]
-                    eq = int(eq_trace[t, b])
-                    kk = (int(key_trace[t, b, 0]), int(key_trace[t, b, 1]))
-                    if e < sh_val[ob, eq]:
-                        sh_val[ob, eq] = e
-                        sh_count[ob, eq] = 1
-                        sh_unique[ob][eq] = {kk}
-                    elif e == sh_val[ob, eq]:
-                        sh_count[ob, eq] += 1
-                        sh_unique[ob][eq].add(kk)
 
         # track first post-burn step (global index)
         newly = (burn_start < 0) & burn_any
         if newly.any():
             burn_start[newly] = steps_done + burn_first[newly]
         steps_done += W
-        if cum_rows + Wc > cum.shape[0]:
-            grown = np.zeros((max(2 * cum.shape[0], cum_rows + Wc), Br))
-            grown[:cum_rows] = cum[:cum_rows]
-            cum = grown
-        cum[cum_rows : cum_rows + Wc] = cum[cum_rows - 1] + np.cumsum(
-            energies, axis=0
-        )
-        cum_rows += Wc
+        hist.append(energies)
 
         if metrics is not None:
             from ..utils.metrics import effective_sample_size
@@ -424,15 +572,14 @@ def pteq_run(
             )
 
         if cfg.conv_criteria == "error_based":
-            cumsum = cum[:cum_rows]
             sb = fetch[-2]
             real = rows >= 0
             conv_r = np.ones(Br, dtype=bool)
             conv_r[real] = converged[rows[real]]
             active = ~conv_r & (tops_now >= cfg.TOPS) & (burn_start >= 0)
             if active.any():
-                accept = error_based_accept(
-                    cumsum, np.maximum(burn_start, 0) // C, sb // C, cfg.eps
+                accept = hist.accept(
+                    np.maximum(burn_start, 0) // C, sb // C, cfg.eps
                 )
                 # streak bookkeeping (decoders.py:74-82) at window cadence
                 start_streak = accept & ~in_streak
@@ -465,8 +612,8 @@ def pteq_run(
         return new_Br < Br
 
     def do_compact():
-        nonlocal ls, eq_count, since_burn, cum, burn_start, conv_start
-        nonlocal in_streak, rows, Br
+        nonlocal ls, eq_count, since_burn, burn_start, conv_start
+        nonlocal in_streak, rows, Br, sh
         real_idx = np.nonzero(rows >= 0)[0]
         alive_rows = real_idx[~converged[rows[real_idx]]]
         n_alive = len(alive_rows)
@@ -476,6 +623,11 @@ def pteq_run(
         pad = new_Br - n_alive
         sel = np.concatenate([alive_rows, np.repeat(alive_rows[:1], pad)])
         sel_j = jnp.asarray(sel)
+        if track_shortest:
+            # rows leaving the device batch stop accumulating: flush their
+            # shortest stats to the host result arrays first
+            finalize_sh(np.setdiff1d(real_idx, alive_rows))
+            sh = ShortestState(*(jnp.take(a, sel_j, axis=0) for a in sh))
         ls = LadderState(
             jnp.take(ls.state, sel_j, axis=0),
             jnp.take(ls.flag, sel_j, axis=0),
@@ -483,7 +635,7 @@ def pteq_run(
         )
         eq_count = jnp.take(eq_count, sel_j, axis=0)
         since_burn = jnp.take(since_burn, sel_j, axis=0)
-        cum = np.ascontiguousarray(cum[:, sel])
+        hist.select_columns(sel)
         burn_start = burn_start[sel]
         conv_start = conv_start[sel]
         in_streak = in_streak[sel]
@@ -506,8 +658,13 @@ def pteq_run(
     pending = None  # (window_idx, out) dispatched but not yet processed
     for w in range(w0, n_windows):
         key, k = jax.random.split(key)
-        out = window_fn(ls, k, betas_j, eq_count, since_burn, weights)
+        args = (ls, k, betas_j, eq_count, since_burn, weights)
+        if track_shortest:
+            args = args + (sh,)
+        out = window_fn(*args)
         ls, eq_count, since_burn = out[:3]
+        if track_shortest:
+            sh = out[8]
         if not pipelined:
             process_window(w, out)
             if converged.all():
@@ -555,23 +712,28 @@ def pteq_run(
         snap_tops[orig] = tops_fin[r_idx]
 
     distr = (snap_distr * 100).astype(np.uint8)
-    sh_boltz = sh_counts = None
+    sh_boltz = sh_counts = sh_overflow = None
     if track_shortest:
+        # flush the still-resident rows, then compute the two extra
+        # distributions from the host result arrays
+        finalize_sh(np.nonzero(rows >= 0)[0])
         # Boltzmann over unique shortest chains: each unique chain at the
         # class's shortest n_eff contributes exp(-beta * n_eff)
         # (decoders_biasednoise.py:163-169)
-        n_unique = np.array(
-            [[len(sh_unique[b][k2]) for k2 in range(K)] for b in range(B)],
-            dtype=np.float64,
-        )
+        n_unique = sh_nuq_h.astype(np.float64)
         with np.errstate(invalid="ignore"):
-            logw = -shortest_beta * np.where(np.isfinite(sh_val), sh_val, np.inf)
+            logw = -shortest_beta * np.where(
+                np.isfinite(sh_val_h), sh_val_h, np.inf
+            )
         w_ = n_unique * np.exp(logw - np.nanmax(np.where(np.isfinite(logw), logw, np.nan), axis=1, keepdims=True))
         w_ = np.where(np.isfinite(w_), w_, 0.0)
         tot = w_.sum(axis=1, keepdims=True)
         sh_boltz = np.where(tot > 0, w_ / np.maximum(tot, 1e-300) * 100, 0.0)
-        ctot = sh_count.sum(axis=1, keepdims=True)
-        sh_counts = np.where(ctot > 0, sh_count / np.maximum(ctot, 1) * 100, 0.0)
+        ctot = sh_cnt_h.sum(axis=1, keepdims=True)
+        sh_counts = np.where(
+            ctot > 0, sh_cnt_h / np.maximum(ctot, 1) * 100, 0.0
+        )
+        sh_overflow = sh_ovf_h
     return PTEQResult(
         distribution=distr,
         converged=converged,
@@ -579,6 +741,7 @@ def pteq_run(
         tops0=snap_tops,
         shortest_boltzmann=sh_boltz,
         shortest_counts=sh_counts,
+        shortest_overflow=sh_overflow,
         buckets=tuple(buckets),
     )
 

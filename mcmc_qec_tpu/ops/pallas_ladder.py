@@ -74,7 +74,8 @@ def _bit_planes_np(m: np.ndarray):
 
 
 def fused_vmem_estimate(spec: CodeSpec, Nc: int, window: int, iters: int,
-                        batch_tile: int, energy_chunk: int) -> int:
+                        batch_tile: int, energy_chunk: int,
+                        track_traces: bool = False) -> int:
     """Rough per-tile VMEM bytes for the fused window kernel: resident
     state + constants + the peak transient working set of one colored
     half-sweep.  Used to pick a batch tile / fall back to the XLA window
@@ -99,17 +100,20 @@ def fused_vmem_estimate(spec: CodeSpec, Nc: int, window: int, iters: int,
     consts = n_colors * W_out * nq_pad * 4 * 3 + 2 * nq_pad * SP * 128 * 4
     energy = (window // energy_chunk) * SP * batch_tile * 4
     scalars = 8 * rows * SP * 4
-    return planes + transient + consts + energy + scalars
+    traces = 5 * window * SP * batch_tile * 4 if track_traces else 0
+    return planes + transient + consts + energy + scalars + traces
 
 
 def pick_batch_tile(spec: CodeSpec, Nc: int, window: int, iters: int,
-                    energy_chunk: int, requested: int = 256) -> int:
+                    energy_chunk: int, requested: int = 256,
+                    track_traces: bool = False) -> int:
     """Largest batch tile <= requested whose VMEM estimate fits the device
     (halving down to 32); the caller treats 0 as 'does not fit fused'."""
     limit = scoped_vmem_limit() or (16 << 20)
     tb = requested
     while tb >= 32:
-        if fused_vmem_estimate(spec, Nc, window, iters, tb, energy_chunk) <= limit:
+        if fused_vmem_estimate(spec, Nc, window, iters, tb, energy_chunk,
+                               track_traces) <= limit:
             return tb
         tb //= 2
     return 0
@@ -127,6 +131,7 @@ def make_pallas_ladder_window(
     interpret: bool = False,
     top_exact: bool = False,
     equal_betas: bool = False,
+    track_traces: bool = False,
     plane_dtype=jnp.float32,
 ):
     """Build ``fn(state, flag, tops0, eq_count, since_burn, seed, betas,
@@ -158,6 +163,19 @@ def make_pallas_ladder_window(
     OR-plane contraction per color, the three exchange-sweep segment sums
     to one, and the energy trace to one matmul — halving the kernel's MXU
     and VPU work on the flagship depolarizing path.
+
+    ``track_traces``: additionally emit per-step bottom-rung traces for
+    on-device shortest-chain dedup (decoders_biasednoise.py:93-172):
+    class index, per-step energy, and a 4-component content hash of the
+    bottom chain.  The hash components are bf16-matmul-exact weighted
+    sums sum_q v_q * c_q with random coefficients c_q in [0, 64) (v_q the
+    2-bit Pauli value): every product < 192 and every sum < 2^18, so the
+    f32-accumulated MXU contraction is exact, giving ~17 independent hash
+    bits per component (~68 total — same birthday regime as
+    ops/pauli.pack_key, and only ever compared against hashes from the
+    same run).  Returns three extra outputs:
+      eq_trace (window, B) i32, en_trace (window, B) f32,
+      key_trace (window, B, 4) i32.
 
     ``interpret`` runs the kernel through the TPU interpreter
     (pltpu.InterpretParams) so the full fused dataflow executes on CPU —
@@ -244,6 +262,19 @@ def make_pallas_ladder_window(
     IOTE = (np.arange(128, dtype=np.float32) % EQW)[None, :]
     SEGT = np.ascontiguousarray(SEG.T)  # (SP, nq_pad)
 
+    # trace-mode tables: transposed class readout (traces live in
+    # (SP, TB) layout like the energy) and the 4 per-slot hash-coefficient
+    # matrices (SP, nq_pad) with coefficients in [0, 64)
+    ABT = np.ascontiguousarray(np.swapaxes(AB, 1, 2))  # (2, NBW, nq_pad)
+    PWT = np.ascontiguousarray(PW.T)  # (SP, NBW)
+    N_KEY = 4
+    _rng = np.random.RandomState(0x5EED ^ (nq * 7919))
+    KEYC = np.zeros((N_KEY, SP, nq_pad), np.float32)
+    for c in range(N_KEY):
+        coef = _rng.randint(0, 64, size=nq).astype(np.float32)
+        for j in range(n_pack):
+            KEYC[c, j, j * inner : j * inner + nq] = coef
+
     # distinct PRNG uses per ladder step (sweeps, mix, swaps) with slack
     uses_per_step = iters * n_colors + iters * (n_draws * 3 + 2) + 8
     TB = batch_tile
@@ -254,9 +285,12 @@ def make_pallas_ladder_window(
 
     def kernel(seed_ref, betas_ref, w_ref, sel_ref, xop_ref, zop_ref,
                ab_ref, drw_ref, seg_ref, brd_ref, brd2_ref, brdeq_ref,
-               pw_ref, iotp_ref, iote_ref, segt_ref, st_ref, fl_ref, tp_ref,
+               pw_ref, iotp_ref, iote_ref, segt_ref, abt_ref, pwt_ref,
+               keyc_ref, st_ref, fl_ref, tp_ref,
                eq_ref, sb_ref, st_out, fl_out, tp_out, eq_out, sb_out,
-               en_out, ba_out, bf_out, sw_out):
+               en_out, ba_out, bf_out, sw_out, *trace_outs):
+        if track_traces:
+            eqt_out, kt_out = trace_outs
         seg_bf = seg_ref[:].astype(jnp.bfloat16)  # (nq_pad, SP)
         brd_bf = brd_ref[:].astype(jnp.bfloat16)  # (SP, nq_pad)
         brd2_bf = brd2_ref[:].astype(jnp.bfloat16)  # (SP, n_pos_out)
@@ -264,12 +298,15 @@ def make_pallas_ladder_window(
         pw_bf = pw_ref[:].astype(jnp.bfloat16)  # (NBW, SP)
         segt_bf = segt_ref[:].astype(jnp.bfloat16)  # (SP, nq_pad)
 
-        def seg_sum_t(x):  # (TB, nq_pad) -> (SP, TB): rhs-transposed matmul
+        def tmm(a, x):  # (R, nq_pad) x (TB, nq_pad) -> (R, TB)
             return jax.lax.dot_general(
-                segt_bf, x.astype(jnp.bfloat16),
+                a.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+        def seg_sum_t(x):  # (TB, nq_pad) -> (SP, TB): rhs-transposed matmul
+            return tmm(segt_bf, x)
 
         def mm(a, b):  # exact small-int bf16 matmul, f32 accumulate
             return jax.lax.dot_general(
@@ -579,6 +616,25 @@ def make_pallas_ladder_window(
             # accumulate chunk means in place (en_out zeroed at kernel start)
             tc = t // energy_chunk
             en_out[pl.ds(tc * SP, SP), :] += energy_t * (1.0 / energy_chunk)
+            if track_traces:
+                # transposed class readout: traces live in (SP, TB) layout
+                featsT = tmm(abt_ref[0], b0) + tmm(abt_ref[1], b1)
+                bitsT = mm(pwt_ref[:], mod2(featsT).astype(jnp.bfloat16))
+                bits_ti = bitsT.astype(jnp.int32)  # (SP, TB)
+                if bits_to_eq == list(range(len(bits_to_eq))):
+                    eqT = bits_ti
+                else:
+                    eqT = jnp.zeros((SP, TB), jnp.int32)
+                    for v2 in range(len(bits_to_eq)):
+                        eqT = eqT + (
+                            bits_ti == v2
+                        ).astype(jnp.int32) * bits_to_eq[v2]
+                eqt_out[pl.ds(t * SP, SP), :] = eqT
+                # 4-component exact hash of the bottom chain's Pauli values
+                vq = b0 + 3.0 * b1 - 2.0 * b0 * b1  # (TB, nq_pad) in {0..3}
+                for c2 in range(N_KEY):
+                    kT = tmm(keyc_ref[c2], vq)  # (SP, TB), integer < 2^18
+                    kt_out[c2, pl.ds(t * SP, SP), :] = kT.astype(jnp.int32)
             R0 = jnp.concatenate(rows0, axis=0)
             R1 = jnp.concatenate(rows1, axis=0)
             return (R0, R1) + tuple(fls) + tuple(sws) + (
@@ -667,8 +723,22 @@ def make_pallas_ladder_window(
         grid = (n_tiles,)
         vmem = pltpu.VMEM
         consts = [
-            pl.BlockSpec(memory_space=vmem) for _ in range(13)
+            pl.BlockSpec(memory_space=vmem) for _ in range(16)
         ]
+        trace_out_specs = []
+        trace_out_shapes = []
+        if track_traces:
+            trace_out_specs = [
+                pl.BlockSpec((window * SP, TB), lambda i: (0, i),
+                             memory_space=vmem),
+                pl.BlockSpec((N_KEY, window * SP, TB), lambda i: (0, 0, i),
+                             memory_space=vmem),
+            ]
+            trace_out_shapes = [
+                jax.ShapeDtypeStruct((window * SP, n_rows), jnp.int32),
+                jax.ShapeDtypeStruct((N_KEY, window * SP, n_rows),
+                                     jnp.int32),
+            ]
         limit = scoped_vmem_limit()
         out = pl.pallas_call(
             kernel,
@@ -698,6 +768,7 @@ def make_pallas_ladder_window(
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((TB, SP), lambda i: (i, 0), memory_space=vmem),
                 pl.BlockSpec((NR, SP), lambda i: (i, 0), memory_space=vmem),
+                *trace_out_specs,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * NR, nq_pad), jnp.uint8),
@@ -709,6 +780,7 @@ def make_pallas_ladder_window(
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_tiles * NR, SP), jnp.int32),
+                *trace_out_shapes,
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
             # larger codes (d >= 9: nq_pad 256+, Nc = d rungs) need more
@@ -723,7 +795,11 @@ def make_pallas_ladder_window(
           jnp.asarray(zop_all), jnp.asarray(AB), jnp.asarray(DRW),
           jnp.asarray(SEG), jnp.asarray(BRD), jnp.asarray(BRD2),
           jnp.asarray(BRDEQ), jnp.asarray(PW), jnp.asarray(IOTP),
-          jnp.asarray(IOTE), jnp.asarray(SEGT), st, fl, tp, eq, sb)
+          jnp.asarray(IOTE), jnp.asarray(SEGT), jnp.asarray(ABT),
+          jnp.asarray(PWT), jnp.asarray(KEYC), st, fl, tp, eq, sb)
+        if track_traces:
+            eqt_o, kt_o = out[9], out[10]
+            out = out[:9]
         st_o, fl_o, tp_o, eq_o, sb_o, en_o, ba_o, bf_o, sw_o = out
         # undo the tile-major rung packing
         st_o = (
@@ -764,7 +840,7 @@ def make_pallas_ladder_window(
         swap_o = jnp.moveaxis(
             sw_o[:, :, :n_pack].reshape(Nc, Bp), 0, 1
         )[:B0, : Nc - 1]
-        return (
+        res = (
             state_o,
             flag_o,
             unpack_slot(tp_o),
@@ -775,5 +851,17 @@ def make_pallas_ladder_window(
             unpack_slot(bf_o),
             swap_o,
         )
+        if track_traces:
+            eq_tr = jnp.moveaxis(
+                eqt_o.reshape(window, SP, n_rows), 1, 2
+            )[:, :, :n_pack].reshape(window, Bp)[:, :B0]
+            key_tr = jnp.moveaxis(
+                jnp.moveaxis(
+                    kt_o.reshape(N_KEY, window, SP, n_rows), 2, 3
+                )[:, :, :, :n_pack].reshape(N_KEY, window, Bp)[:, :, :B0],
+                0, -1,
+            )  # (window, B0, N_KEY)
+            res = res + (eq_tr, key_tr)
+        return res
 
     return raw
