@@ -52,6 +52,9 @@ def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
     fewer sequential steps per recorded sample and dense vector math; same
     stationary distribution, more decorrelated samples).
     """
+    from ..ops.engines import resolve_engine
+
+    engine = resolve_engine(engine, "counting")
     if engine == "sweep":
         from ..ops.dense_sweep import make_dense_sweep
 

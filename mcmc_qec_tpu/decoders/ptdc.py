@@ -30,6 +30,9 @@ from .counting import SampleStream, occupancy_stats, z_direct_count
 def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int,
                     engine: str = "literal"):
     """Sampler over (B*K) ladders recording every rung each step."""
+    from ..ops.engines import resolve_engine
+
+    engine = resolve_engine(engine, "chain")
     ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0,
                                    engine=engine)
     mults = jnp.asarray(make_hash_mults(spec))
@@ -65,7 +68,7 @@ def _pt_stream(
     droplets: int,
     iters: int,
     seed: int,
-    engine: str = "literal",
+    engine: str = "auto",
 ):
     """Run droplet PT ladders for every (syndrome, class); returns streams
     with axes (B, K, Nc, droplets*steps)."""
@@ -102,7 +105,7 @@ def PTDC(
     Nc: Optional[int] = None,
     steps: int = 20000,
     seed: int = 0,
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> np.ndarray:
     """Direct counting over PT samples (decoders.py:168-233).  All rungs'
     visits enter one unique-chain set per class; Z = sum_unique
@@ -180,7 +183,7 @@ def PTRC(
     Nc: Optional[int] = None,
     steps: int = 20000,
     seed: int = 0,
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> np.ndarray:
     """Ratio counting over PT samples (decoders.py:638-742): per rung i
     (except the top),

@@ -53,13 +53,14 @@ class PTEQConfig:
     p_logical: float = 0.5
     window: int = 100
     conv_criteria: str = "error_based"
-    # literal (reference cadence) | sweep (TPU-fast, XLA) | fused (whole
-    # window in one Pallas VMEM kernel — fastest; requires TPU and no
-    # track_shortest, else falls back to sweep; any beta ladder incl.
+    # auto (default: fused on TPU, sweep elsewhere) | literal (reference
+    # cadence, opt-in parity mode) | sweep (XLA colored sweeps) | fused
+    # (whole window in one Pallas VMEM kernel — fastest; TPU only, falls
+    # back to sweep when off-TPU or VMEM-bound; any beta ladder incl.
     # biased nonzero-top rungs).  track_shortest runs its dedup fully on
     # device (bounded unique-key buffers in the scan carry), so it no
     # longer forces per-step host traces, energy_chunk=1 or no-ckpt.
-    engine: str = "literal"
+    engine: str = "auto"
     # energy-trace coarsening: the device returns per-chunk means instead
     # of per-step energies (the felkriteriet quarter means are unchanged at
     # chunk resolution; fetching per-step traces over the remote-TPU tunnel
@@ -187,14 +188,16 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    track_shortest: bool = False,
                    top_exact_accept: bool = False,
                    equal_betas: bool = False):
+    from ..ops.engines import resolve_engine
+
     C = cfg.energy_chunk
+    engine = resolve_engine(cfg.engine, "pteq")
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
-           cfg.tops_burn, track_shortest, cfg.engine, top_exact_accept, C,
+           cfg.tops_burn, track_shortest, engine, top_exact_accept, C,
            equal_betas, cfg.shortest_unique_cap)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
-    engine = cfg.engine
     if engine == "fused":
         # the fused kernel's top-rung logical mix is a general Metropolis
         # accept, so nonzero top betas (PTEQ_biased ladders) run fused too;
@@ -656,7 +659,13 @@ def pteq_run(
     # automaton state always come from the same window (exact resume).
     pipelined = ckpt is None
     pending = None  # (window_idx, out) dispatched but not yet processed
+    # opt-in loop timing: MCMC_QEC_PTEQ_DEBUG=1 prints per-window
+    # dispatch/process wall times (diagnosing host-loop vs device cost)
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("MCMC_QEC_PTEQ_DEBUG"))
     for w in range(w0, n_windows):
+        _t0 = _time.perf_counter()
         key, k = jax.random.split(key)
         args = (ls, k, betas_j, eq_count, since_burn, weights)
         if track_shortest:
@@ -665,6 +674,8 @@ def pteq_run(
         ls, eq_count, since_burn = out[:3]
         if track_shortest:
             sh = out[8]
+        if _dbg:
+            _t1 = _time.perf_counter()
         if not pipelined:
             process_window(w, out)
             if converged.all():
@@ -694,6 +705,13 @@ def pteq_run(
                 do_compact()
                 continue
         pending = (w, out)
+        if _dbg:
+            print(
+                f"[pteq w{w}] dispatch {1e3 * (_t1 - _t0):.1f} ms  "
+                f"process {1e3 * (_time.perf_counter() - _t1):.1f} ms  "
+                f"Br={Br} conv={int(converged.sum())}/{B}",
+                flush=True,
+            )
     if pending is not None:
         process_window(*pending)
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..models.base import CodeSpec
 from ..mcmc.ladder import betas_depolarizing, betas_xyz
+from ..ops.engines import resolve_engine
 from ..ops.pauli import all_class_states, apply_stabilizers_uniform
 from .counting import make_sampler, z_direct_count
 
@@ -49,6 +50,7 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
     direct counting."""
     if isinstance(shortest_mode, bool):
         shortest_mode = "only" if shortest_mode else "off"
+    engine = resolve_engine(engine, "counting")
     iters = 5 if engine == "literal" else 1
     sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
 
@@ -122,7 +124,7 @@ def stdc_run(
     shortest_only: bool = False,
     seed: int = 0,
     conv_mult: float = 0.0,
-    engine: str = "literal",
+    engine: str = "auto",
     shortest_mode: Optional[str] = None,
     metrics=None,
 ):
@@ -173,7 +175,7 @@ def STDC(
     steps: int = 20000,
     seed: int = 0,
     conv_mult: float = 0.0,
-    engine: str = "literal",
+    engine: str = "auto",
     metrics=None,
 ) -> np.ndarray:
     """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
@@ -227,6 +229,7 @@ def STDC_general_noise(
     steps: int = 20000,
     shortest_only: bool = False,
     seed: int = 0,
+    engine: str = "auto",
 ) -> np.ndarray:
     """General-noise STDC (decoders.py:345-432)."""
     bs, be = _general_noise_betas(p_xyz, p_sampling)
@@ -234,7 +237,8 @@ def STDC_general_noise(
     # sets randomize=False in both init branches)
     seeds = _class_seeds(spec, init_states)
     distr, _ = stdc_run(
-        spec, seeds, bs, be, droplets, steps, False, shortest_only, seed
+        spec, seeds, bs, be, droplets, steps, False, shortest_only, seed,
+        engine=engine,
     )
     return distr
 
@@ -247,6 +251,7 @@ def STDC_general_noise_shortest(
     droplets: int = 10,
     steps: int = 20000,
     seed: int = 0,
+    engine: str = "auto",
 ):
     """Returns (full distribution, shortest-only distribution), both reduced
     from ONE sampled stream — exactly the reference's single-pass structure
@@ -255,7 +260,7 @@ def STDC_general_noise_shortest(
     seeds = _class_seeds(spec, init_states)
     (full, short), _ = stdc_run(
         spec, seeds, bs, be, droplets, steps, False, seed=seed,
-        shortest_mode="both",
+        shortest_mode="both", engine=engine,
     )
     return full, short
 
@@ -269,6 +274,7 @@ def STDC_Nall_n_alpha(
     droplets: int = 1,
     steps: int = 20000,
     seed: int = 0,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Alpha-noise STDC on n_eff = n_z + alpha (n_x + n_y)
     (decoders.py:510-581): sampling runs at the alpha acceptance for
@@ -279,5 +285,6 @@ def STDC_Nall_n_alpha(
     be = np.array([alpha * b_e, alpha * b_e, b_e])
     # no rain: STDC_droplet_alpha never randomizes (decoders.py:520-536)
     seeds = _class_seeds(spec, init_states)
-    distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, False, seed=seed)
+    distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, False,
+                        seed=seed, engine=engine)
     return distr

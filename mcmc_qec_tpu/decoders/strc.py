@@ -32,6 +32,9 @@ from .counting import SampleStream, make_sampler, occupancy_stats
 @functools.lru_cache(maxsize=None)
 def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
                  conv_mult: float = 0.0, engine: str = "literal"):
+    from ..ops.engines import resolve_engine
+
+    engine = resolve_engine(engine, "counting")
     iters = 5 if engine == "literal" else 1
     sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
     nq = spec.nq
@@ -107,7 +110,7 @@ def STRC(
     steps: int = 20000,
     seed: int = 0,
     conv_mult: float = 0.0,
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> np.ndarray:
     """Returns (B, K) float percentages (decoders.py:835-949)."""
     p_sampling = p_sampling or p_error

@@ -131,6 +131,9 @@ def make_ladder_step(
     chain.  Distributionally identical to the general path when the top
     betas are 0.
     """
+    from ..ops.engines import resolve_engine
+
+    engine = resolve_engine(engine, "chain")
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
     if engine == "sweep":

@@ -39,10 +39,13 @@ class RunConfig:
     # --- TPU-native additions ---
     batch: int = 64  # syndromes decoded per device step
     seed: int = 0
-    # literal (reference cadence) | sweep (XLA colored sweep) | pallas
-    # (Pallas sweep kernel for counting decoders) | fused (PTEQ only:
-    # whole PT window in one Pallas VMEM kernel — fastest on TPU)
-    engine: str = "literal"
+    # auto (default: the fastest path per decoder/backend — fused for
+    # PTEQ on TPU, pallas for counting decoders on TPU, sweep elsewhere)
+    # | literal (reference-cadence parity mode, ~3 orders of magnitude
+    # slower) | sweep (XLA colored sweep) | pallas (Pallas sweep kernel
+    # for counting decoders) | fused (PTEQ only: whole PT window in one
+    # Pallas VMEM kernel)
+    engine: str = "auto"
     max_steps: int = 200_000  # PTEQ step cap per batch
     window: int = 200  # PTEQ device window
     checkpoint_every: int = 50  # datapoints between checkpoints
