@@ -46,6 +46,13 @@ def _config_from_args(args) -> "RunConfig":
 
 
 def cmd_generate(args) -> int:
+    if args.distributed:
+        # join the coordinator BEFORE any jax-touching import: the backend
+        # must not be initialized yet when jax.distributed starts
+        from .parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id, platform=args.platform)
     from .pipeline import generate
 
     cfg = _config_from_args(args)
@@ -61,6 +68,22 @@ def cmd_generate(args) -> int:
                 # re-derive the default budget for the grid's size
                 # (generate_data.py:295 recomputes steps per size)
                 cfg.steps = int(5 * cfg.size**5)
+    if args.distributed:
+        # pod-scale fan-out as ONE CLI invocation per host — the in-band
+        # replacement for the reference's SLURM array + offline pickle
+        # merge (generate_data.py:274-308, concat_data.py).  On a TPU pod
+        # the three topology flags can be omitted (auto-detected); for
+        # explicit clusters pass the coordinator and this host's rank.
+        if args.append:
+            raise SystemExit("--append is not supported with --distributed")
+        import jax
+
+        from .parallel import distributed_generate
+
+        ds = distributed_generate(args.out, cfg, args.n, progress=None)
+        if jax.process_index() == 0:
+            print(f"wrote {len(ds)} points to {args.out}")
+        return 0
     ds = generate(args.out, cfg, nbr_datapoints=args.n, append=args.append)
     print(f"wrote {len(ds)} points to {args.out}")
     return 0
@@ -138,6 +161,20 @@ def main(argv=None) -> int:
     g.add_argument("--p-points", type=int, default=10)
     g.add_argument("--sizes", type=str, default="",
                    help="comma-separated lattice sizes for the grid")
+    g.add_argument("--distributed", action="store_true",
+                   help="multi-host run: every host decodes its shard of "
+                        "-n and host 0 writes the gathered dataset "
+                        "(replaces the reference's SLURM array + offline "
+                        "merge, generate_data.py:274-308)")
+    g.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed "
+                        "(omit on TPU pods: auto-detected)")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
+    g.add_argument("--platform", default=None,
+                   help="pin jax_platforms before backend init (e.g. cpu "
+                        "for multi-process runs on a host whose "
+                        "sitecustomize pre-pins a device plugin)")
     g.set_defaults(fn=cmd_generate)
 
     c = sub.add_parser("concat", help="merge datasets (concat_data.py)")

@@ -26,17 +26,27 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     cpu_collectives: Optional[str] = "gloo",
+    platform: Optional[str] = None,
 ) -> None:
     """Initialize jax.distributed (no-op when already initialized or when
     environment auto-detection applies, e.g. TPU pods).
 
-    On the CPU backend, cross-process collectives need an explicit
-    implementation; ``cpu_collectives`` selects it (gloo ships with jax).
-    This is what makes the multi-process paths testable without a pod —
-    see tests/test_multiprocess.py."""
+    ``platform`` pins ``jax_platforms`` (e.g. "cpu") BEFORE backend
+    initialization — needed on hosts whose sitecustomize pre-pins a device
+    plugin, where env vars alone are too late (same trick as
+    tests/conftest.py).  On the CPU backend, cross-process collectives
+    need an explicit implementation; ``cpu_collectives`` selects it (gloo
+    ships with jax).  This is what makes the multi-process paths testable
+    without a pod — see tests/test_multiprocess.py.
+
+    When ``num_processes`` is given, the joined world size is verified —
+    a silent fallback to single-process would make every rank decode the
+    FULL batch (and write conflicting outputs) instead of its shard."""
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
     if cpu_collectives is not None:
         try:
-            if jax.config.jax_platforms == "cpu":
+            if (platform or jax.config.jax_platforms) == "cpu":
                 jax.config.update(
                     "jax_cpu_collectives_implementation", cpu_collectives
                 )
@@ -48,8 +58,15 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already" not in str(e) and "once" not in str(e):
+            raise
+    if num_processes is not None and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"jax.distributed joined {jax.process_count()} process(es), "
+            f"expected {num_processes} — the backend was likely initialized "
+            "before init_distributed (pass platform=... or call earlier)"
+        )
 
 
 def host_shard(n_total: int) -> slice:
