@@ -23,11 +23,84 @@ _PAULI_COLORS = {1: "tab:red", 2: "blueviolet", 3: "tab:blue"}
 _PAULI_NAMES = {1: "X", 2: "Y", 3: "Z"}
 
 
+def _rotated_defect_xy(d: int, pr: int, pc: int):
+    """Plot position of a defect at plaquette (pr, pc) of the rotated/xzzx
+    (d+1, d+1) defect array, in reference coordinates (qubit (r, c) at
+    (c, d-1-r)).  Boundary half-stabilizer defects are nudged 0.25 toward
+    the lattice interior; the nudge precedence (left edge, then top, then
+    right, then bottom — corners take the first match) reproduces the
+    reference's elif chain (rotated_surface_model.py:177-189,
+    xzzx_model.py:129-141)."""
+    x, y = pc - 0.5, d - pr - 0.5
+    if pc == 0:
+        x += 0.25
+    elif pr == 0:
+        y -= 0.25
+    elif pc == d:
+        x -= 0.25
+    elif pr == d:
+        y += 0.25
+    return x, y
+
+
+def _draw_rotated(spec: CodeSpec, state: np.ndarray, ax) -> None:
+    """Rotated/xzzx lattice in the reference's visual conventions
+    (rotated_surface_model.py:133-195, xzzx_model.py:85-147): a (d, d)
+    qubit grid with semicircular boundary stabilizers on alternating edge
+    pairs, errors as $X$/$Y$/$Z$ glyphs, and red flux dots at the
+    (d+1, d+1) defect positions."""
+    from matplotlib.patches import Arc
+
+    from ..models import defect_array, np_syndrome
+
+    d = spec.size
+    for i in range(d):
+        ax.plot([0, d - 1], [i, i], color="k", lw=1.5)
+        ax.plot([i, i], [0, d - 1], color="k", lw=1.5)
+    # boundary half-stabilizers: radius-1/2 arcs bulging outward over
+    # alternating qubit pairs of each edge
+    for i in range((d - 1) // 2):
+        arcs = [
+            ((1.5 + 2 * i, d - 1), 0, 180),  # top
+            ((0.5 + 2 * i, 0), 180, 360),  # bottom
+            ((d - 1, 0.5 + 2 * i), -90, 90),  # right
+            ((0, d - 1.5 - 2 * i), 90, 270),  # left
+        ]
+        for center, t1, t2 in arcs:
+            ax.add_patch(Arc(center, 1, 1, theta1=t1, theta2=t2,
+                             color="k", lw=1.5))
+    xs, ys = np.meshgrid(np.arange(d), np.arange(d))
+    ax.plot(xs, ys, "o", color="k", mfc="white", ms=14, zorder=2)
+    qm = state.reshape(d, d)
+    for v in (1, 2, 3):
+        rr, cc = np.where(qm == v)
+        if len(rr):
+            ax.plot(cc, d - 1 - rr, linestyle="none", color="tab:blue",
+                    marker=f"${_PAULI_NAMES[v]}$", ms=9, zorder=3,
+                    label=f"{_PAULI_NAMES[v]} error")
+    darr = defect_array(spec, np_syndrome(spec, state.reshape(-1)))
+    for pr, pc in np.argwhere(darr):
+        x, y = _rotated_defect_xy(d, pr, pc)
+        ax.plot(x, y, "o", color="red", ms=7, zorder=4)
+
+
 def plot_state(spec: CodeSpec, state: np.ndarray, path: str,
                title: Optional[str] = None) -> None:
     """Draw the lattice, errors, and defects; save to ``path``."""
     d = spec.size
     state = np.asarray(state).reshape(spec.state_shape)
+    if spec.family in ("rotated", "xzzx"):
+        fig, ax = plt.subplots(figsize=(6, 6))
+        _draw_rotated(spec, state, ax)
+        ax.set_aspect("equal")
+        ax.axis("off")
+        if title:
+            ax.set_title(title)
+        if state.any():
+            ax.legend(loc="upper right", fontsize=8)
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return
     fig, ax = plt.subplots(figsize=(6, 6))
     for i in range(d):
         ax.axhline(-i, color="k", lw=0.6, alpha=0.4)

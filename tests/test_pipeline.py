@@ -282,3 +282,19 @@ def test_generate_exhausted_retries_reraises(monkeypatch):
     monkeypatch.setattr(gen, "decode_batch", always)
     with pytest.raises(RuntimeError, match="persistent"):
         generate(None, cfg, nbr_datapoints=2, progress=None)
+
+
+def test_rotated_defect_positions_match_reference_conventions():
+    """Flux-dot geometry of the rotated/xzzx rendering: interior defects
+    sit at plaquette centers, boundary half-stab defects are nudged 0.25
+    into the lattice, and corners take the first matching edge rule —
+    the reference's elif chain (rotated_surface_model.py:177-189)."""
+    from mcmc_qec_tpu.pipeline.plot import _rotated_defect_xy
+
+    d = 5
+    assert _rotated_defect_xy(d, 2, 3) == (2.5, d - 2.5)  # interior
+    assert _rotated_defect_xy(d, 2, 0) == (-0.25, d - 2.5)  # left edge
+    assert _rotated_defect_xy(d, 0, 2) == (1.5, d - 0.75)  # top edge
+    assert _rotated_defect_xy(d, 2, d) == (d - 0.75, d - 2.5)  # right
+    assert _rotated_defect_xy(d, d, 2) == (1.5, -0.25)  # bottom edge
+    assert _rotated_defect_xy(d, 0, 0) == (-0.25, d - 0.5)  # corner: col
