@@ -100,3 +100,31 @@ def test_fused_kernel_matches_xla_window(variant):
     assert abs(tops_fused - tops_xla) / max(tops_xla, 1e-9) < 0.5
     assert abs(en_fused - en_xla) < 1.0
     assert np.abs(sw_fused - sw_xla).max() < 0.05, (sw_fused, sw_xla)
+
+
+def test_vmem_budget_picks_tile_or_falls_back():
+    """pick_batch_tile halves the tile until the fused-window VMEM
+    estimate fits the device cap and signals sweep-engine fallback with 0
+    when even the minimum tile cannot fit (VERDICT r2 task 5: documented
+    max fused d + automatic fallback).  Exercised across caps so the test
+    is device-independent."""
+    from mcmc_qec_tpu.models import get_spec
+    import mcmc_qec_tpu.ops.pallas_ladder as pl
+
+    orig = pl.scoped_vmem_limit
+    try:
+        spec19 = get_spec("toric", 19)
+        # Mosaic's 16 MiB default: the d=19 full-ladder window cannot fit
+        pl.scoped_vmem_limit = lambda: 16 << 20
+        assert pl.pick_batch_tile(spec19, 19, 600, 2, 12) == 0
+        # v5e-derived ~100 MiB cap: d=19 fits at a reduced tile
+        pl.scoped_vmem_limit = lambda: 100 << 20
+        tb19 = pl.pick_batch_tile(spec19, 19, 600, 2, 12)
+        assert tb19 > 0
+        assert pl.fused_vmem_estimate(spec19, 19, 600, 2, tb19, 12) <= 100 << 20
+        # estimates grow monotonically with the tile
+        e32 = pl.fused_vmem_estimate(spec19, 19, 600, 2, 32, 12)
+        e128 = pl.fused_vmem_estimate(spec19, 19, 600, 2, 128, 12)
+        assert e32 < e128
+    finally:
+        pl.scoped_vmem_limit = orig
