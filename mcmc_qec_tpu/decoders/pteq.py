@@ -85,6 +85,35 @@ class PTEQConfig:
     compact: bool = True
     compact_frac: float = 0.5
     min_compact: int = 128
+    # adaptive window growth: once the batch compacts, per-window device
+    # time shrinks below the host round-trip latency of the fetch (~30 ms
+    # over the remote-TPU tunnel), so the fetch cadence — not the device —
+    # bounds the straggler phase.  After compacting by factor f the window
+    # grows by min(f, window_scale_cap), keeping device work per host
+    # round trip roughly constant.  Convergence checks coarsen with the
+    # window (the documented "up to W-1 extra steps" semantics, applied to
+    # the grown window).  Scaling only applies on the pipelined path (it
+    # is disabled under checkpointing, whose snapshots are fixed-window)
+    # and without track_shortest (trace buffers scale with W in VMEM).
+    # 1 disables.  Off by default: fetch batching (pipeline_depth_cap)
+    # recovers the same throughput without coarsening the convergence
+    # checks; window growth remains available for hosts where even the
+    # batched fetch cadence is latency-bound.
+    window_scale_cap: int = 1
+    # fetch batching: after compaction the host keeps up to
+    # min(pipeline_depth_cap, B / Br) windows in flight and fetches their
+    # summaries in ONE bundled device_get (one tunnel round trip for the
+    # whole group) instead of one fetch per window.  Convergence labels
+    # and snapshots still use each window's own data — identical to the
+    # depth-1 loop — only the *reactions* (early exit, compaction) lag by
+    # up to the group, which costs at most a few cheap small-bucket
+    # windows.  1 disables (plain depth-1 pipelining).
+    pipeline_depth_cap: int = 8
+    # explicit fixed pipeline depth from the first window (None = adaptive:
+    # depth 1 at full batch, deepening with compaction).  Set this when the
+    # whole run is small enough to be fetch-latency-bound from the start
+    # (e.g. B <= 512 over a remote-tunnel TPU link).
+    pipeline_depth: Optional[int] = None
     # exact mid-decode checkpoint/resume: with ckpt_dir set, the full run
     # state (ladder, accumulators, convergence automaton, PRNG key, row
     # map) is snapshotted every ckpt_every windows and a preempted run
@@ -366,6 +395,7 @@ def pteq_run(
     )
     window_fn = _get_window_fn(spec, Nc, cfg, track_shortest, top_exact,
                                eq_b)
+    cur_window = cfg.window  # grows on compaction (window_scale_cap)
 
     ls = init_ladder(spec, jnp.asarray(init_states, dtype=jnp.uint8), Nc)
     eq_count = jnp.zeros((B, K), dtype=jnp.int32)
@@ -527,16 +557,29 @@ def pteq_run(
                 sh_ovf_h = restored["sh_ovf_h"]
             w0 = int(meta["window_idx"]) + 1
 
-    def process_window(w, out):
-        """Fetch window ``w``'s outputs and advance the host convergence
-        automaton.  With pipelining the fetch (a device sync) happens while
-        the NEXT window already executes on device."""
+    def fetch_args(out):
+        # the host-facing summaries: out[1]/out[2] are this window's own
+        # eq_count/since_burn.  Shortest-chain tracking stays entirely on
+        # device (out[8], never fetched here).
+        return out[3:8] + (out[2], out[1])
+
+    def process_group(group):
+        """ONE bundled device->host round trip for a whole group of
+        dispatched windows (the remote-TPU tunnel charges ~a full round
+        trip per device_get; for post-compaction buckets whose windows run
+        faster than that, per-window fetches would bound the loop), then
+        advance the automaton window by window in order."""
+        if not group:
+            return
+        data = jax.device_get([fetch_args(out) for _, out in group])
+        for (gw, _), f in zip(group, data):
+            process_window(gw, f)
+
+    def process_window(w, fetch):
+        """Advance the host convergence automaton with window ``w``'s
+        fetched summaries.  With pipelining the fetch (a device sync)
+        happens while later windows already execute on device."""
         nonlocal steps_done, in_streak
-        # one bundled device->host round trip per window (the remote-TPU
-        # tunnel makes each separate fetch expensive); out[1]/out[2] are
-        # this window's own eq_count/since_burn.  Shortest-chain tracking
-        # stays entirely on device (out[8], never fetched here).
-        fetch = jax.device_get(out[3:8] + (out[2], out[1]))
         energies = fetch[0]  # (W // C, B) chunk means
         burn_any, burn_first, tops_now = fetch[1], fetch[2], fetch[3]
         swap_window = fetch[4]  # (Br, Nc-1) accepted swaps this window
@@ -616,7 +659,7 @@ def pteq_run(
 
     def do_compact():
         nonlocal ls, eq_count, since_burn, burn_start, conv_start
-        nonlocal in_streak, rows, Br, sh
+        nonlocal in_streak, rows, Br, sh, cur_window, window_fn
         real_idx = np.nonzero(rows >= 0)[0]
         alive_rows = real_idx[~converged[rows[real_idx]]]
         n_alive = len(alive_rows)
@@ -647,73 +690,100 @@ def pteq_run(
         )
         Br = new_Br
         buckets.append(new_Br)
+        # adaptive window growth (see PTEQConfig.window_scale_cap): keep
+        # rows x steps per dispatched window roughly constant so the
+        # device window stays longer than the host fetch round trip
+        if ckpt is None and not track_shortest and cfg.window_scale_cap > 1:
+            f = min(int(cfg.window_scale_cap), max(1, B // Br))
+            new_window = cfg.window * f
+            if new_window != cur_window:
+                cur_window = new_window
+                window_fn = _get_window_fn(
+                    spec, Nc, dataclasses.replace(cfg, window=cur_window),
+                    track_shortest, top_exact, eq_b,
+                )
 
-    # Window pipelining: dispatch window w+1 BEFORE fetching window w's
+    # Window pipelining: dispatch ahead BEFORE fetching earlier windows'
     # results, so the fetch + host automaton (a large share of wall time
-    # over the remote-TPU tunnel) overlaps the next window's device
-    # execution.  Decisions still use each window's own fetched data, so
-    # snapshots are identical to the sequential loop; early convergence
-    # wastes at most the one in-flight window, and compaction flushes the
-    # pipeline first (its row remap must not race an in-flight shape).
-    # Disabled when checkpointing so a snapshot's device state and
-    # automaton state always come from the same window (exact resume).
+    # over the remote-TPU tunnel) overlap device execution.  The pipeline
+    # runs at depth 1 while the batch is full (windows are device-bound;
+    # deeper lag would only delay compaction) and deepens with each
+    # compaction (pipeline_depth_cap) so one bundled fetch covers a whole
+    # group of the now-cheap windows.  Decisions still use each window's
+    # own fetched data, so snapshots are identical to the sequential loop;
+    # early convergence wastes at most the in-flight windows, and
+    # compaction flushes the pipeline first (its row remap must not race
+    # an in-flight shape).  Disabled when checkpointing so a snapshot's
+    # device state and automaton state always come from the same window
+    # (exact resume).
     pipelined = ckpt is None
-    pending = None  # (window_idx, out) dispatched but not yet processed
+    pend = []  # [(window_idx, out)] dispatched but not yet processed
+    # current fetch-group size (adaptive unless pinned by cfg)
+    depth = 1 if cfg.pipeline_depth is None else max(1, int(cfg.pipeline_depth))
     # opt-in loop timing: MCMC_QEC_PTEQ_DEBUG=1 prints per-window
     # dispatch/process wall times (diagnosing host-loop vs device cost)
     import os as _os
     import time as _time
     _dbg = bool(_os.environ.get("MCMC_QEC_PTEQ_DEBUG"))
-    for w in range(w0, n_windows):
+    # dispatch budget in STEPS (windows can grow after compaction): same
+    # total as the fixed-window loop, n_windows * cfg.window
+    step_budget = n_windows * cfg.window
+    dispatched_steps = steps_done
+    w = w0
+    while dispatched_steps < step_budget:
         _t0 = _time.perf_counter()
         key, k = jax.random.split(key)
         args = (ls, k, betas_j, eq_count, since_burn, weights)
         if track_shortest:
             args = args + (sh,)
         out = window_fn(*args)
+        dispatched_steps += cur_window
+        wi = w
+        w += 1
         ls, eq_count, since_burn = out[:3]
         if track_shortest:
             sh = out[8]
         if _dbg:
             _t1 = _time.perf_counter()
         if not pipelined:
-            process_window(w, out)
+            process_window(wi, jax.device_get(fetch_args(out)))
             if converged.all():
                 break
             if compact_wanted():
                 do_compact()
-            if ckpt is not None and (w + 1 - w0) % max(cfg.ckpt_every, 1) == 0:
+            if ckpt is not None and (wi + 1 - w0) % max(cfg.ckpt_every, 1) == 0:
                 ckpt.save(
-                    w,
+                    wi,
                     _snapshot_tree(),
                     {
                         "sig": (B, Nc, K, cfg.window, spec.family, spec.size),
-                        "window_idx": w,
+                        "window_idx": wi,
                     },
                 )
             continue
-        if pending is not None:
-            pw, pout = pending
-            pending = None
-            process_window(pw, pout)
+        pend.append((wi, out))
+        if len(pend) >= 2 * depth:
+            group, pend = pend[:depth], pend[depth:]
+            process_group(group)
             if converged.all():
-                break  # drop the in-flight window (device time already spent)
+                break  # drop in-flight windows (device time already spent)
             if compact_wanted():
-                process_window(w, out)  # flush before remapping rows
+                process_group(pend)  # flush in flight before remapping rows
+                pend = []
                 if converged.all():
                     break
                 do_compact()
-                continue
-        pending = (w, out)
+                if cfg.pipeline_depth is None:
+                    depth = min(max(1, int(cfg.pipeline_depth_cap)),
+                                max(1, B // Br))
         if _dbg:
             print(
-                f"[pteq w{w}] dispatch {1e3 * (_t1 - _t0):.1f} ms  "
+                f"[pteq w{wi}] dispatch {1e3 * (_t1 - _t0):.1f} ms  "
                 f"process {1e3 * (_time.perf_counter() - _t1):.1f} ms  "
                 f"Br={Br} conv={int(converged.sum())}/{B}",
                 flush=True,
             )
-    if pending is not None:
-        process_window(*pending)
+    process_group(pend)
 
     # unconverged elements: snapshot at the end (with the reference's
     # "hit max steps" warning semantics, decoders.py:84-87)

@@ -311,3 +311,47 @@ def test_pteq_batch_compaction_preserves_results():
         assert (res.distribution[res.converged].sum(axis=1) > 80).all()
         assert np.mean(res.distribution.argmax(axis=1) == true) > 0.9
         assert res.converged.mean() > 0.7
+
+
+def test_pteq_fetch_batching_is_bitwise_invariant():
+    """pipeline_depth batches the device->host fetches of several windows
+    into one round trip; convergence labels and snapshots use each
+    window's own data, so without compaction (whose *timing* legitimately
+    shifts with the deeper pipeline) results must be bit-identical to the
+    depth-1 loop."""
+    spec = get_spec("toric", 3)
+    B = 24
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(3), spec, 0.08, (B,))
+    )
+    base = dict(engine="sweep", max_steps=4000, window=100, iters=4,
+                TOPS=3, SEQ=1, eps=0.5, compact=False)
+    r1 = PTEQ(spec, states, 0.08,
+              PTEQConfig(**base, pipeline_depth=1), seed=11)
+    r8 = PTEQ(spec, states, 0.08,
+              PTEQConfig(**base, pipeline_depth=8), seed=11)
+    np.testing.assert_array_equal(r1.distribution, r8.distribution)
+    np.testing.assert_array_equal(r1.converged, r8.converged)
+    np.testing.assert_array_equal(r1.steps, r8.steps)
+    np.testing.assert_array_equal(r1.tops0, r8.tops0)
+
+
+def test_pteq_window_scaling_still_decodes():
+    """window_scale_cap > 1 grows the window after compaction (coarser
+    convergence cadence, same sampler); quality must be unaffected."""
+    spec = get_spec("toric", 3)
+    B = 64
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(9), spec, 0.05, (B,))
+    )
+    true = np_eq_class(spec, states)
+    res = PTEQ(
+        spec, states, 0.05,
+        PTEQConfig(engine="sweep", max_steps=8000, window=100, iters=4,
+                   TOPS=3, SEQ=1, eps=0.5, min_compact=8,
+                   window_scale_cap=4),
+        seed=5,
+    )
+    assert len(res.buckets) >= 1, "compaction never triggered"
+    assert np.mean(res.distribution.argmax(axis=1) == true) > 0.9
+    assert res.converged.mean() > 0.7
