@@ -140,20 +140,20 @@ def bench_fused_window(d=5, B=2048, W=600, iters=2):
     return best * 1000, B * W / best, mfu
 
 
-def bench_pteq(B=2048, max_steps=8000):
-    """PTEQ decoder throughput on hard syndromes (golden corpus when
-    readable, synthetic p=0.15 errors otherwise): full parallel-tempering
+def bench_pteq(B=2048, max_steps=8000, d=5, p=0.15):
+    """PTEQ decoder throughput (d=5: hard syndromes from the golden corpus
+    when readable, synthetic p errors otherwise): full parallel-tempering
     decode — ladder sweeps, replica exchange, burn-in, windowed
-    convergence — per wall second.  B=2048 is the production shape (the
-    decoder is batched by design; most of the 2603-syndrome corpus decodes
-    in one device batch, amortizing the per-window host round trip)."""
+    convergence, compaction, batched fetches — per wall second.  B=2048 is
+    the d=5 production shape (the decoder is batched by design; most of
+    the 2603-syndrome corpus decodes in one device batch)."""
     import os
     from mcmc_qec_tpu.models import get_spec
     from mcmc_qec_tpu.decoders.pteq import PTEQ, PTEQConfig
 
-    spec = get_spec("toric", 5)
+    spec = get_spec("toric", d)
     golden = "/root/reference/data/drl_failures_p_0.15.xz"
-    if os.path.exists(golden):
+    if d == 5 and os.path.exists(golden):
         from mcmc_qec_tpu.pipeline.evaluate import load_golden_corpus
 
         _, flat, _ = load_golden_corpus(golden)
@@ -163,15 +163,15 @@ def bench_pteq(B=2048, max_steps=8000):
         from mcmc_qec_tpu.models.noise import sample_depolarizing
 
         states = np.asarray(
-            sample_depolarizing(jax.random.PRNGKey(0), spec, 0.15, (B,))
+            sample_depolarizing(jax.random.PRNGKey(0), spec, p, (B,))
         )
     cfg = PTEQConfig(engine="fused", max_steps=3 * max_steps, window=600,
                      iters=2, energy_chunk=12)
-    PTEQ(spec, states, 0.15, cfg)  # compile
+    PTEQ(spec, states, p, cfg)  # compile
     best = 0.0
     for rep in range(2):
         t0 = time.perf_counter()
-        PTEQ(spec, states, 0.15, cfg, seed=rep + 1)
+        PTEQ(spec, states, p, cfg, seed=rep + 1)
         best = max(best, B / (time.perf_counter() - t0))
     return best
 
@@ -203,6 +203,14 @@ def main():
             extra["pteq_hard_syndromes_per_sec_d5"] = round(bench_pteq(), 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_error"] = str(e)[:200]
+    try:
+        # production-size end-to-end PTEQ (reference grid reaches d=19;
+        # RESULTS.md records d=9/13 rows — d=9 is the bench-budget pick)
+        if time.perf_counter() - t_start < budget * 0.87:
+            extra["pteq_syndromes_per_sec_d9"] = round(
+                bench_pteq(B=512, d=9, p=0.10), 1)
+    except Exception as e:  # pragma: no cover
+        extra["pteq_d9_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.88:
             ms, steps_s, mfu = bench_fused_window()
