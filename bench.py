@@ -60,13 +60,19 @@ def bench_dense(family="toric", d=5, batch=32768, sweeps_per_call=200, calls=3):
     return best
 
 
-def bench_pallas(family="toric", d=5, batch=32768, sweeps_per_call=400, calls=3):
+def bench_pallas(family="toric", d=5, batch=32768, sweeps_per_call=400, calls=3,
+                 equal_betas=True):
+    """Pallas sweep kernel on a depolarizing chain.  ``equal_betas`` uses
+    the kernel's uniform-beta specialization (1 multilinear total-count
+    contraction per color instead of 3 per-Pauli ones — valid for exactly
+    the depolarizing betas benched here; 1.2-1.7x measured)."""
     from mcmc_qec_tpu.models import get_spec
     from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
     from mcmc_qec_tpu.ops.pallas_sweep import make_pallas_sweep
 
     spec = get_spec(family, d)
-    fn, _ = make_pallas_sweep(spec, n_sweeps=sweeps_per_call, batch_tile=512)
+    fn, _ = make_pallas_sweep(spec, n_sweeps=sweeps_per_call, batch_tile=512,
+                              equal_betas=equal_betas)
     betas = jnp.asarray(betas_depolarizing(0.1), jnp.float32)
     states = fn(jnp.zeros((batch, spec.nq), jnp.uint8), 1, betas)
     _force(states)
@@ -189,6 +195,9 @@ def main():
             pallas = bench_pallas()
             extra["pallas_d5"] = round(pallas, 1)
             value = max(value, pallas)
+            # general (per-Pauli) path for reference — the r1/r2 numbers
+            extra["pallas_3beta_d5"] = round(
+                bench_pallas(equal_betas=False), 1)
     except Exception as e:  # pragma: no cover - bench resilience
         extra["pallas_d5_error"] = str(e)[:200]
     try:
@@ -251,7 +260,8 @@ def main():
                             (13, 16384, "pallas_d13")]:
             if key in extra:
                 tf, mfu = mfu_from_throughput(
-                    get_spec("toric", dd), extra[key], bb, 400)
+                    get_spec("toric", dd), extra[key], bb, 400,
+                    equal_betas=True)
                 extra[f"mfu_estimate_d{dd}"] = round(mfu, 4)
                 extra[f"mxu_tflops_d{dd}"] = round(tf, 2)
     except Exception as e:  # pragma: no cover

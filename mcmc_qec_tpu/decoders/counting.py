@@ -37,7 +37,7 @@ class SampleStream(NamedTuple):
 
 
 def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
-                 engine: str = "literal"):
+                 engine: str = "literal", equal_betas: bool = False):
     """Build ``sample(states, key, betas) -> (states, SampleStream)``.
 
     Each of ``steps`` recording steps runs ``iters_per_step`` Metropolis
@@ -75,7 +75,10 @@ def make_sampler(spec: CodeSpec, steps: int, iters_per_step: int = 5,
             return make_sampler(spec, steps, iters_per_step, engine="sweep")
         from ..ops.pallas_sweep import make_pallas_sweep
 
-        _, pallas_raw = make_pallas_sweep(spec, n_sweeps=iters_per_step)
+        # equal_betas (uniform sampling chain, e.g. scalar-p depolarizing):
+        # single total-count contraction per color instead of three
+        _, pallas_raw = make_pallas_sweep(spec, n_sweeps=iters_per_step,
+                                          equal_betas=equal_betas)
 
         def update(states, key, betas, p_logical=0.0):
             del p_logical

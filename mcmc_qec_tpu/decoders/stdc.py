@@ -39,7 +39,8 @@ from .counting import make_sampler, z_direct_count
 @functools.lru_cache(maxsize=None)
 def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
                  shortest_mode: str, conv_mult: float = 0.0,
-                 engine: str = "literal", with_stats: bool = False):
+                 engine: str = "literal", with_stats: bool = False,
+                 equal_betas: bool = False):
     """shortest_mode: "off" (full Z), "only" (shortest-truncated Z) or
     "both" (full + shortest from one sampled stream, decoders.py:490-505).
     Bools are accepted for backward compatibility (False="off", True="only").
@@ -52,7 +53,8 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
         shortest_mode = "only" if shortest_mode else "off"
     engine = resolve_engine(engine, "counting")
     iters = 5 if engine == "literal" else 1
-    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
+    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine,
+                           equal_betas=equal_betas)
 
     def run(class_states, key, betas_sampling, betas_error):
         # class_states: (B, K, nq)
@@ -129,8 +131,13 @@ def stdc_run(
     metrics=None,
 ):
     mode = shortest_mode or ("only" if shortest_only else "off")
+    # uniform sampling betas (scalar-p depolarizing chains, the common
+    # case) unlock the sweep kernel's single-contraction fast path
+    bs_np = np.asarray(betas_sampling, np.float32)
+    eq_b = bool(bs_np[0] == bs_np[1] == bs_np[2])
     fn = _get_stdc_fn(spec, droplets, steps, randomize, mode,
-                      conv_mult, engine, with_stats=metrics is not None)
+                      conv_mult, engine, with_stats=metrics is not None,
+                      equal_betas=eq_b)
     key = jax.random.PRNGKey(seed)
     out = fn(
         jnp.asarray(class_states, jnp.uint8),

@@ -36,7 +36,11 @@ def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
 
     engine = resolve_engine(engine, "counting")
     iters = 5 if engine == "literal" else 1
-    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine)
+    # STRC always samples with a depolarizing (uniform-beta) chain
+    # (decoders.py:835-949, betas built in strc_run below), so the sweep
+    # kernel's single-contraction fast path is always valid here
+    sampler = make_sampler(spec, steps, iters_per_step=iters, engine=engine,
+                           equal_betas=True)
     nq = spec.nq
 
     def run(class_states, key, betas_sampling, beta_s, beta_e):

@@ -262,6 +262,23 @@ def make_pallas_ladder_window(
     IOTE = (np.arange(128, dtype=np.float32) % EQW)[None, :]
     SEGT = np.ascontiguousarray(SEG.T)  # (SP, nq_pad)
 
+    # equal-betas fast path constants: the total-count delta of flipping a
+    # stabilizer's qubit q is OR(R0^mx, R1^mz) - OR(R0, R1), which is
+    # MULTILINEAR in (R0, R1) per qubit — d_or = A + B R0 + C R1 + D R0R1
+    # with small-integer planes determined by the op masks (mx, mz):
+    #   (1,0): 1 - 2R0 -  R1 + 2P    (0,1): 1 -  R0 - 2R1 + 2P
+    #   (1,1): 1 -  R0 -  R1         (0,0): 0
+    # Evaluating this form is 7 VPU ops vs 11 for the XOR/OR chain, with
+    # identical integer values (bit-identical kernel output).
+    e10 = xop_all * (1.0 - zop_all)
+    e01 = (1.0 - xop_all) * zop_all
+    e11 = xop_all * zop_all
+    DORC = np.zeros((n_colors, 4, nq_pad), np.float32)
+    DORC[:, 0] = (e10 + e01 + e11)[:, 0]
+    DORC[:, 1] = (-2.0 * e10 - e01 - e11)[:, 0]
+    DORC[:, 2] = (-e10 - 2.0 * e01 - e11)[:, 0]
+    DORC[:, 3] = (2.0 * e10 + 2.0 * e01)[:, 0]
+
     # trace-mode tables: transposed class readout (traces live in
     # (SP, TB) layout like the energy) and the 4 per-slot hash-coefficient
     # matrices (SP, nq_pad) with coefficients in [0, 64)
@@ -286,7 +303,7 @@ def make_pallas_ladder_window(
     def kernel(seed_ref, betas_ref, w_ref, sel_ref, xop_ref, zop_ref,
                ab_ref, drw_ref, seg_ref, brd_ref, brd2_ref, brdeq_ref,
                pw_ref, iotp_ref, iote_ref, segt_ref, abt_ref, pwt_ref,
-               keyc_ref, st_ref, fl_ref, tp_ref,
+               keyc_ref, dor_ref, st_ref, fl_ref, tp_ref,
                eq_ref, sb_ref, st_out, fl_out, tp_out, eq_out, sb_out,
                en_out, ba_out, bf_out, sw_out, *trace_outs):
         if track_traces:
@@ -386,16 +403,22 @@ def make_pallas_ladder_window(
                 use += 1
                 for c in range(n_colors):
                     xop, zop = xops[c], zops[c]
-                    nb0 = fxor(R0, xop.astype(plane_dtype))
-                    nb1 = fxor(R1, zop.astype(plane_dtype))
                     if equal_betas:
-                        # total-count delta: OR(new) - OR(old), one
-                        # contraction (values in {-1, 0, 1}, bf16-exact)
-                        d_or = (nb0 + nb1 - nb0 * nb1) - (
-                            R0 + R1 - R0 * R1
+                        # total-count delta OR(new) - OR(old) in its
+                        # multilinear form A + B R0 + C R1 + D R0R1 (see
+                        # DORC above): same {-1, 0, 1} values (bf16-exact,
+                        # bit-identical), 4 fewer VPU ops per color block
+                        P = R0 * R1
+                        d_or = (
+                            dor_ref[c, 0:1].astype(plane_dtype)
+                            + dor_ref[c, 1:2].astype(plane_dtype) * R0
+                            + dor_ref[c, 2:3].astype(plane_dtype) * R1
+                            + dor_ref[c, 3:4].astype(plane_dtype) * P
                         )
                         logr = -(bx_col * mm(d_or, selT_bfs[c]))
                     else:
+                        nb0 = fxor(R0, xop.astype(plane_dtype))
+                        nb1 = fxor(R1, zop.astype(plane_dtype))
                         d1 = nb0 * (1.0 - nb1) - R0 * (1.0 - R1)
                         d2 = nb0 * nb1 - R0 * R1
                         d3 = (1.0 - nb0) * nb1 - (1.0 - R0) * R1
@@ -723,7 +746,7 @@ def make_pallas_ladder_window(
         grid = (n_tiles,)
         vmem = pltpu.VMEM
         consts = [
-            pl.BlockSpec(memory_space=vmem) for _ in range(16)
+            pl.BlockSpec(memory_space=vmem) for _ in range(17)
         ]
         trace_out_specs = []
         trace_out_shapes = []
@@ -748,7 +771,7 @@ def make_pallas_ladder_window(
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # betas
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # weights
                 *consts,  # sel,xop,zop,AB,DRW,SEG,BRD,BRD2,BRDEQ,PW,IOTP,
-                #           IOTE,SEGT
+                #           IOTE,SEGT,ABT,PWT,KEYC,DORC
                 pl.BlockSpec((NR, nq_pad), lambda i: (i, 0),
                              memory_space=vmem),
                 pl.BlockSpec((NR, SP), lambda i: (i, 0), memory_space=vmem),
@@ -796,7 +819,8 @@ def make_pallas_ladder_window(
           jnp.asarray(SEG), jnp.asarray(BRD), jnp.asarray(BRD2),
           jnp.asarray(BRDEQ), jnp.asarray(PW), jnp.asarray(IOTP),
           jnp.asarray(IOTE), jnp.asarray(SEGT), jnp.asarray(ABT),
-          jnp.asarray(PWT), jnp.asarray(KEYC), st, fl, tp, eq, sb)
+          jnp.asarray(PWT), jnp.asarray(KEYC), jnp.asarray(DORC),
+          st, fl, tp, eq, sb)
         if track_traces:
             eqt_o, kt_o = out[9], out[10]
             out = out[:9]

@@ -44,6 +44,7 @@ def make_pallas_sweep(
     n_sweeps: int,
     batch_tile: int = 256,
     interpret: bool = False,
+    equal_betas: bool = False,
 ):
     """``fn(states (B, nq) uint8, seed int32, betas (3,) f32) -> states``.
 
@@ -74,7 +75,22 @@ def make_pallas_sweep(
             xop_all[c, 0, j * inner : j * inner + nq] = xop
             zop_all[c, 0, j * inner : j * inner + nq] = zop
 
-    def kernel(seed_ref, betas_ref, sel_ref, xop_ref, zop_ref, *rest):
+    # equal-betas (depolarizing) fast path: acceptance depends only on the
+    # TOTAL count delta OR(new)-OR(old), which is multilinear per qubit —
+    # d_or = A + B b0 + C b1 + D b0b1 with small-integer planes from the
+    # op masks — so the three per-Pauli contractions collapse to ONE
+    # ({-1,0,1} operands, bf16-exact; see ops/pallas_ladder.py DORC)
+    e10 = xop_all * (1.0 - zop_all)
+    e01 = (1.0 - xop_all) * zop_all
+    e11 = xop_all * zop_all
+    DORC = np.zeros((n_colors, 4, nq_pad), np.float32)
+    DORC[:, 0] = (e10 + e01 + e11)[:, 0]
+    DORC[:, 1] = (-2.0 * e10 - e01 - e11)[:, 0]
+    DORC[:, 2] = (-e10 - 2.0 * e01 - e11)[:, 0]
+    DORC[:, 3] = (2.0 * e10 + 2.0 * e01)[:, 0]
+
+    def kernel(seed_ref, betas_ref, sel_ref, xop_ref, zop_ref, dor_ref,
+               *rest):
         if interpret:
             # pltpu PRNG is unavailable in interpret mode: uniforms come in
             # as a precomputed input tensor
@@ -123,11 +139,6 @@ def make_pallas_sweep(
                 sel = sel_ref[c]  # (W_out, nq_pad)
                 xop = xop_ref[c]  # (1, nq_pad)
                 zop = zop_ref[c]
-                nb0 = fxor(b0, xop)
-                nb1 = fxor(b1, zop)
-                d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
-                d2 = nb0 * nb1 - b0 * b1
-                d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
                 # (TB, nq_pad) @ (nq_pad, W_out) on the MXU.  All operands
                 # are small integers ({-1,0,1} deltas, 0/1 selectors) that
                 # bf16 represents exactly, and accumulation stays f32 —
@@ -135,13 +146,27 @@ def make_pallas_sweep(
                 # end-to-end at d=9)
                 sel_bf = sel.astype(jnp.bfloat16)
                 selT_bf = sel_bf.T
-                dn1 = jnp.dot(d1.astype(jnp.bfloat16), selT_bf,
-                              preferred_element_type=jnp.float32)
-                dn2 = jnp.dot(d2.astype(jnp.bfloat16), selT_bf,
-                              preferred_element_type=jnp.float32)
-                dn3 = jnp.dot(d3.astype(jnp.bfloat16), selT_bf,
-                              preferred_element_type=jnp.float32)
-                logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_out)
+                if equal_betas:
+                    # single total-count contraction (multilinear d_or)
+                    P = b0 * b1
+                    d_or = (dor_ref[c, 0:1] + dor_ref[c, 1:2] * b0
+                            + dor_ref[c, 2:3] * b1 + dor_ref[c, 3:4] * P)
+                    dn = jnp.dot(d_or.astype(jnp.bfloat16), selT_bf,
+                                 preferred_element_type=jnp.float32)
+                    logr = -(bx * dn)  # (TB, W_out)
+                else:
+                    nb0 = fxor(b0, xop)
+                    nb1 = fxor(b1, zop)
+                    d1 = nb0 * (1.0 - nb1) - b0 * (1.0 - b1)
+                    d2 = nb0 * nb1 - b0 * b1
+                    d3 = (1.0 - nb0) * nb1 - (1.0 - b0) * b1
+                    dn1 = jnp.dot(d1.astype(jnp.bfloat16), selT_bf,
+                                  preferred_element_type=jnp.float32)
+                    dn2 = jnp.dot(d2.astype(jnp.bfloat16), selT_bf,
+                                  preferred_element_type=jnp.float32)
+                    dn3 = jnp.dot(d3.astype(jnp.bfloat16), selT_bf,
+                                  preferred_element_type=jnp.float32)
+                    logr = -(bx * dn1 + by * dn2 + bz * dn3)  # (TB, W_out)
                 if interpret:
                     logu = logu_ref[0, t, c]
                 else:
@@ -213,6 +238,7 @@ def make_pallas_sweep(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # DORC
                 *extra_in_specs,
                 pl.BlockSpec(
                     (batch_tile, nq_pad),
@@ -229,7 +255,7 @@ def make_pallas_sweep(
             # of the detected device VMEM (None = keep default)
             compiler_params=None if interpret else _sweep_compiler_params(),
         )(seed2, betas2, jnp.asarray(sel_all), jnp.asarray(xop_all),
-          jnp.asarray(zop_all), *extra_args, padded)
+          jnp.asarray(zop_all), jnp.asarray(DORC), *extra_args, padded)
         return (
             out[:, : n_pack * inner]
             .reshape(rows, n_pack, inner)[:, :, :nq]

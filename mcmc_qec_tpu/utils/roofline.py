@@ -41,11 +41,14 @@ def peak_bf16_tflops() -> float:
 
 
 def pallas_sweep_mxu_flops(
-    spec: CodeSpec, batch: int, n_sweeps: int, batch_tile: int = 512
+    spec: CodeSpec, batch: int, n_sweeps: int, batch_tile: int = 512,
+    equal_betas: bool = False,
 ) -> int:
     """Total MXU FLOPs one ``make_pallas_sweep(spec, n_sweeps)`` call
     executes on a ``batch`` of chains (padding and chain packing
-    included, mirroring ops/pallas_sweep.py's layout arithmetic)."""
+    included, mirroring ops/pallas_sweep.py's layout arithmetic).
+    ``equal_betas``: the single-contraction fast path runs 2 matmuls per
+    color (1 total-count delta + 1 accept scatter) instead of 4."""
     tables = _color_tables(spec)
     inner = _round_up(spec.nq, 32)
     n_pack = max(1, 128 // inner)
@@ -53,7 +56,8 @@ def pallas_sweep_mxu_flops(
     W_pad = _round_up(max(max(sel.shape[0] for sel, _, _ in tables), 8), 8)
     W_out = n_pack * W_pad
     rows = _round_up(-(-batch // n_pack), batch_tile)
-    per_sweep = len(tables) * 4 * 2 * rows * nq_pad * W_out
+    n_mm = 2 if equal_betas else 4
+    per_sweep = len(tables) * n_mm * 2 * rows * nq_pad * W_out
     return per_sweep * n_sweeps
 
 
@@ -110,7 +114,7 @@ def fused_ladder_mfu(
 
 def mfu_from_throughput(
     spec: CodeSpec, proposals_per_sec: float, batch: int, n_sweeps: int,
-    batch_tile: int = 512,
+    batch_tile: int = 512, equal_betas: bool = False,
 ) -> tuple[float, float]:
     """(achieved_tflops, mfu_fraction) from a measured proposals/s.
 
@@ -120,6 +124,7 @@ def mfu_from_throughput(
     """
     props_per_call = batch * spec.n_stabs * n_sweeps
     seconds_per_call = props_per_call / proposals_per_sec
-    flops = pallas_sweep_mxu_flops(spec, batch, n_sweeps, batch_tile)
+    flops = pallas_sweep_mxu_flops(spec, batch, n_sweeps, batch_tile,
+                                   equal_betas)
     achieved = flops / seconds_per_call / 1e12
     return achieved, achieved / peak_bf16_tflops()
