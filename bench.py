@@ -195,7 +195,10 @@ def main():
             pallas = bench_pallas()
             extra["pallas_d5"] = round(pallas, 1)
             value = max(value, pallas)
-            # general (per-Pauli) path for reference — the r1/r2 numbers
+        # general (per-Pauli) path for reference — the r1/r2 numbers.
+        # Own budget gate: the equal-betas run above may have spent most
+        # of the 0.5 gate on a slow remote compile
+        if time.perf_counter() - t_start < budget * 0.6:
             extra["pallas_3beta_d5"] = round(
                 bench_pallas(equal_betas=False), 1)
     except Exception as e:  # pragma: no cover - bench resilience

@@ -125,18 +125,15 @@ def cmd_plot(args) -> int:
     from .pipeline import Dataset
     from .pipeline.plot import plot_success_rates
 
+    from .pipeline import evaluate_dataset
+
     curves = {}
     for path in args.inputs:
         ds = Dataset.load(path)
         label = f"{ds.config.method} d={ds.config.size}"
-        curves.setdefault(label, {})[ds.config.p_error] = None
-    # recompute rates
-    from .pipeline import evaluate_dataset
-
-    for path in args.inputs:
-        ds = Dataset.load(path)
-        label = f"{ds.config.method} d={ds.config.size}"
-        curves[label][ds.config.p_error] = evaluate_dataset(ds).success_rate
+        curves.setdefault(label, {})[ds.config.p_error] = (
+            evaluate_dataset(ds).success_rate
+        )
     plot_success_rates(curves, args.out)
     print(f"wrote {args.out}")
     return 0

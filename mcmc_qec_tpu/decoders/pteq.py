@@ -571,7 +571,7 @@ def pteq_run(
         advance the automaton window by window in order."""
         if not group:
             return
-        data = jax.device_get([fetch_args(out) for _, out in group])
+        data = jax.device_get([f for _, f in group])
         for (gw, _), f in zip(group, data):
             process_window(gw, f)
 
@@ -761,12 +761,16 @@ def pteq_run(
                     },
                 )
             continue
-        pend.append((wi, out))
+        # keep only the host-facing summary refs in flight: retaining the
+        # full ``out`` tuple would pin up to 2*depth ladder-state copies
+        # (out[0], out[8]) in device memory until the group is processed
+        pend.append((wi, fetch_args(out)))
         if len(pend) >= 2 * depth:
             group, pend = pend[:depth], pend[depth:]
             process_group(group)
             if converged.all():
-                break  # drop in-flight windows (device time already spent)
+                pend = []  # drop in-flight windows (device time already spent)
+                break
             if compact_wanted():
                 process_group(pend)  # flush in flight before remapping rows
                 pend = []

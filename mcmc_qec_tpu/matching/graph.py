@@ -248,12 +248,15 @@ def _random_pairing(edges: np.ndarray, n_defects: int,
     """Random valid pairing instead of the optimal one (mwpm.py:33-50)."""
     edges = edges[~((edges[:, 0] >= n_defects) & (edges[:, 1] >= n_defects))]
     chosen = []
-    edges = edges.copy()
-    while len(edges):
-        row = edges[rng.randint(len(edges))]
-        chosen.append((int(row[0]), int(row[1])))
-        keep = ~np.any(np.isin(edges[:, :2], [row[0], row[1]]), axis=1)
-        edges = edges[keep]
+    order = rng.permutation(len(edges))
+    used = set()
+    for i in order:
+        u, v = int(edges[i, 0]), int(edges[i, 1])
+        if u in used or v in used:
+            continue
+        chosen.append((u, v))
+        used.add(u)
+        used.add(v)
     return chosen
 
 
