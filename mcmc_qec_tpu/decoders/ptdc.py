@@ -59,6 +59,25 @@ def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int,
     return jax.jit(run)
 
 
+def _pt_iters(engine: str) -> int:
+    """Updates per recorded ladder step.  The reference records every
+    ladder step, each being iters=10 single-stabilizer proposals per rung
+    (decoders.py:146-153, mcmc.py:94); one colored sweep is 2d^2 proposals
+    per rung, so the sweep/pallas engines record after ONE sweep — the
+    same convention as counting.make_sampler (round-3 PTDC/PTRC ran 10
+    full sweeps per recorded sample, ~10x the needed decorrelation work)."""
+    from ..ops.engines import resolve_engine
+
+    return 10 if resolve_engine(engine, "chain") == "literal" else 1
+
+
+def _pt_seeds(spec: CodeSpec, init_states: np.ndarray):
+    if init_states.ndim == 2:
+        js = jnp.asarray(init_states, jnp.uint8)
+        return jax.vmap(lambda s: all_class_states(spec, s))(js)  # (B,K,nq)
+    return jnp.asarray(init_states, jnp.uint8)
+
+
 def _pt_stream(
     spec: CodeSpec,
     init_states: np.ndarray,
@@ -72,11 +91,7 @@ def _pt_stream(
 ):
     """Run droplet PT ladders for every (syndrome, class); returns streams
     with axes (B, K, Nc, droplets*steps)."""
-    if init_states.ndim == 2:
-        js = jnp.asarray(init_states, jnp.uint8)
-        seeds = jax.vmap(lambda s: all_class_states(spec, s))(js)  # (B,K,nq)
-    else:
-        seeds = jnp.asarray(init_states, jnp.uint8)
+    seeds = _pt_seeds(spec, init_states)
     B, K, nq = seeds.shape
     flat = jnp.broadcast_to(
         seeds[:, :, None, :], (B, K, droplets, nq)
@@ -96,6 +111,82 @@ def _pt_stream(
     return SampleStream(keys_, nxyz), ladder
 
 
+@functools.lru_cache(maxsize=None)
+def _get_pt_stream_scan_fn(spec: CodeSpec, Nc: int, steps: int, window: int,
+                           iters: int, engine: str, droplets: int,
+                           capacity: int, per_rung: bool, B: int, K: int):
+    """Streaming PT sampler: the ladder advances window by window and every
+    rung's visits are folded into bounded buffers on the fly (see
+    decoders/streaming.py) — no (B, K, Nc, droplets*steps) stream in HBM.
+
+    per_rung=False (PTDC): one buffer per (B, K), all rungs and droplets
+    merged, rank = Boltzmann weight at beta_error (passed to run).
+    per_rung=True (PTRC): one buffer per (B, K, Nc) ranked by total
+    length, plus exact per-length occupancy counts."""
+    from ..ops.engines import resolve_engine
+    from .streaming import streaming_scan
+
+    eng = resolve_engine(engine, "chain")
+    ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0, engine=eng)
+    mults = jnp.asarray(make_hash_mults(spec))
+    nq = spec.nq
+
+    def run(ls_state, ls_flag, ls_tops, key, betas_ladder, betas_error):
+        from ..mcmc.ladder import LadderState
+
+        ls = LadderState(ls_state, ls_flag, ls_tops)
+        N = ls_state.shape[0]  # B * K * droplets
+
+        def chunk(ls, k):
+            def body(carry, kk):
+                ls = carry
+                ls, _, _, _ = ladder_step(ls, kk, betas_ladder)
+                keys_ = pack_key(spec, ls.state, mults)  # (N, Nc, 2)
+                nxyz = count_errors_xyz(ls.state)  # (N, Nc, 3)
+                return ls, (keys_, nxyz)
+
+            ks = jax.random.split(k, window)
+            ls, (keys_, nxyz) = jax.lax.scan(body, ls, ks)
+            # (W, N, Nc, .) with N = B*K*droplets
+            keys_ = keys_.reshape(window, B, K, droplets, Nc, 2)
+            nxyz = nxyz.reshape(window, B, K, droplets, Nc, 3)
+            if per_rung:
+                # rows (B*K*Nc), droplet axis = droplets
+                keys_ = jnp.transpose(keys_, (1, 2, 4, 3, 0, 5)).reshape(
+                    B * K * Nc, droplets, window, 2
+                )
+                nxyz = jnp.transpose(nxyz, (1, 2, 4, 3, 0, 5)).reshape(
+                    B * K * Nc, droplets, window, 3
+                )
+            else:
+                # rows (B*K), droplet axis = droplets*Nc
+                keys_ = jnp.transpose(keys_, (1, 2, 3, 4, 0, 5)).reshape(
+                    B * K, droplets * Nc, window, 2
+                )
+                nxyz = jnp.transpose(nxyz, (1, 2, 3, 4, 0, 5)).reshape(
+                    B * K, droplets * Nc, window, 3
+                )
+            return ls, keys_, nxyz
+
+        if per_rung:
+            R, D = B * K * Nc, droplets
+            rank_fn = lambda nx: jnp.sum(nx, axis=-1).astype(jnp.float32)
+        else:
+            R, D = B * K, droplets * Nc
+            from .counting import _weighted_length
+
+            rank_fn = lambda nx: _weighted_length(nx, betas_error)
+        _, st = streaming_scan(
+            chunk, ls, key,
+            steps=steps, window=window, capacity=capacity,
+            rank_fn=rank_fn, nq=nq, R=R, D=D,
+            track_occupancy=per_rung,
+        )
+        return st
+
+    return jax.jit(run)
+
+
 def PTDC(
     spec: CodeSpec,
     init_states: np.ndarray,
@@ -106,24 +197,57 @@ def PTDC(
     steps: int = 20000,
     seed: int = 0,
     engine: str = "auto",
+    stream: str = "auto",
+    stream_capacity: int = 4096,
+    stream_window: int = 256,
 ) -> np.ndarray:
     """Direct counting over PT samples (decoders.py:168-233).  All rungs'
     visits enter one unique-chain set per class; Z = sum_unique
     exp(-beta_err n).  Returns uint8 percentages like the reference
-    (decoders.py:233)."""
+    (decoders.py:233).
+
+    ``stream``: "auto" switches to the bounded-memory streaming reduction
+    once the materialized stream would exceed ~1 GiB."""
     p_sampling = p_sampling or p_error
     Nc = Nc or spec.size
     steps_eff = steps // Nc
-    stream, _ = _pt_stream(
-        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed,
-        engine,
-    )
-    B, K = stream.keys.shape[:2]
-    # merge rung axis into the sample axis: dedup across the whole ladder
-    merged = SampleStream(
-        stream.keys.reshape(B, K, -1, 2), stream.n_xyz.reshape(B, K, -1, 3)
-    )
-    logz = z_direct_count(merged, jnp.asarray(betas_depolarizing(p_error), jnp.float32))
+    iters = _pt_iters(engine)
+    be = jnp.asarray(betas_depolarizing(p_error), jnp.float32)
+    seeds = _pt_seeds(spec, init_states)
+    B, K = seeds.shape[:2]
+    from .stdc import STREAM_AUTO_BYTES
+
+    if stream == "auto":
+        use_stream = B * K * droplets * Nc * steps_eff * 20 > STREAM_AUTO_BYTES
+    else:
+        use_stream = bool(stream)
+    if use_stream:
+        from .streaming import logz_from_stream
+
+        nq = spec.nq
+        flat = jnp.broadcast_to(
+            seeds[:, :, None, :], (B, K, droplets, nq)
+        ).reshape(B * K * droplets, nq)
+        ls = init_ladder(spec, flat, Nc)
+        fn = _get_pt_stream_scan_fn(
+            spec, Nc, steps_eff, min(stream_window, steps_eff), iters,
+            engine, droplets, stream_capacity, False, B, K,
+        )
+        ladder = beta_ladder_depolarizing(p_sampling, Nc)
+        st = fn(ls.state, ls.flag, ls.tops0, jax.random.PRNGKey(seed),
+                jnp.asarray(ladder, jnp.float32), be)
+        logz = logz_from_stream(st).reshape(B, K)
+    else:
+        stream_s, _ = _pt_stream(
+            spec, init_states, p_sampling, Nc, steps_eff, droplets, iters,
+            seed, engine,
+        )
+        # merge rung axis into the sample axis: dedup across the whole ladder
+        merged = SampleStream(
+            stream_s.keys.reshape(B, K, -1, 2),
+            stream_s.n_xyz.reshape(B, K, -1, 3),
+        )
+        logz = z_direct_count(merged, be)
     distr = jax.nn.softmax(logz, axis=-1) * 100.0
     return np.asarray(distr).astype(np.uint8)
 
@@ -184,6 +308,9 @@ def PTRC(
     steps: int = 20000,
     seed: int = 0,
     engine: str = "auto",
+    stream: str = "auto",
+    stream_capacity: int = 2048,
+    stream_window: int = 256,
 ) -> np.ndarray:
     """Ratio counting over PT samples (decoders.py:638-742): per rung i
     (except the top),
@@ -201,15 +328,48 @@ def PTRC(
     p_sampling = p_sampling or p_error
     Nc = Nc or spec.size
     steps_eff = steps // Nc
-    stream, ladder = _pt_stream(
-        spec, init_states, p_sampling, Nc, steps_eff, droplets, 10, seed,
-        engine,
-    )
-    st = occupancy_stats(stream, spec.nq)  # (B, K, Nc, nq+1)
+    iters = _pt_iters(engine)
+    nq = spec.nq
+    seeds = _pt_seeds(spec, init_states)
+    B, K = seeds.shape[:2]
+    from .stdc import STREAM_AUTO_BYTES
+
+    if stream == "auto":
+        use_stream = B * K * droplets * Nc * steps_eff * 20 > STREAM_AUTO_BYTES
+    else:
+        use_stream = bool(stream)
+    if use_stream:
+        from .streaming import occupancy_from_stream
+
+        flat = jnp.broadcast_to(
+            seeds[:, :, None, :], (B, K, droplets, nq)
+        ).reshape(B * K * droplets, nq)
+        ls = init_ladder(spec, flat, Nc)
+        ladder = beta_ladder_depolarizing(p_sampling, Nc)
+        fn = _get_pt_stream_scan_fn(
+            spec, Nc, steps_eff, min(stream_window, steps_eff), iters,
+            engine, droplets, stream_capacity, True, B, K,
+        )
+        st_s = fn(ls.state, ls.flag, ls.tops0, jax.random.PRNGKey(seed),
+                  jnp.asarray(ladder, jnp.float32),
+                  jnp.zeros((3,), jnp.float32))
+        occ = occupancy_from_stream(st_s, nq)
+        m_n = occ.m_n.reshape(B, K, Nc, nq + 1)
+        N_n = occ.N_n.reshape(B, K, Nc, nq + 1)
+        shortest = occ.shortest.reshape(B, K, Nc)
+        next_shortest = occ.next_shortest.reshape(B, K, Nc)
+    else:
+        stream_s, ladder = _pt_stream(
+            spec, init_states, p_sampling, Nc, steps_eff, droplets, iters,
+            seed, engine,
+        )
+        st = occupancy_stats(stream_s, nq)  # (B, K, Nc, nq+1)
+        m_n, N_n = st.m_n, st.N_n
+        shortest, next_shortest = st.shortest, st.next_shortest
     beta_err = betas_depolarizing(p_error)[0]
     distr = _ptrc_reduce(
-        st.m_n, st.N_n, st.shortest, st.next_shortest,
+        m_n, N_n, shortest, next_shortest,
         jnp.asarray(ladder[:, 0], jnp.float32), jnp.float32(beta_err),
-        spec.nq,
+        nq,
     )
     return np.asarray(distr).astype(np.uint8)

@@ -115,6 +115,84 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _get_stdc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
+                        randomize: bool, shortest_mode: str,
+                        conv_mult: float, engine: str, with_stats: bool,
+                        equal_betas: bool, capacity: int, window: int):
+    """Streaming (bounded-memory) variant of ``_get_stdc_fn``: instead of
+    materializing the (B, K, droplets*steps) sample stream in HBM, every
+    window of samples is sort-merged into a per-(B, K) bounded buffer of
+    the ``capacity`` lowest-weight unique chains (decoders/streaming.py) —
+    peak memory is independent of ``steps``, so the reference's default
+    budget (droplets=10 x steps=20000, decoders.py:268) runs at production
+    batch and d.  Z is exact whenever the buffer never overflows;
+    otherwise only chains with Boltzmann weight < exp(-max_kept) are
+    dropped (see streaming.py's invariant)."""
+    if isinstance(shortest_mode, bool):
+        shortest_mode = "only" if shortest_mode else "off"
+    engine = resolve_engine(engine, "counting")
+    iters = 5 if engine == "literal" else 1
+    from .counting import _weighted_length
+    from .streaming import logz_from_stream, streaming_scan
+
+    def run(class_states, key, betas_sampling, betas_error):
+        B, K, nq = class_states.shape
+        R = B * K
+        states = jnp.broadcast_to(
+            class_states[:, :, None, :], (B, K, droplets, nq)
+        )
+        k_rain, k_samp = jax.random.split(key)
+        if randomize:
+            states = apply_stabilizers_uniform(spec, states, k_rain, 0.5)
+        states = states.reshape(R, droplets, nq)
+
+        from .counting import make_sampler
+
+        sampler = make_sampler(spec, window, iters_per_step=iters,
+                               engine=engine, equal_betas=equal_betas)
+
+        def chunk(states, k):
+            states, stream = sampler(states, k, betas_sampling)
+            return states, stream.keys, stream.n_xyz
+
+        _, st = streaming_scan(
+            chunk, states, k_samp,
+            steps=steps, window=window, capacity=capacity,
+            rank_fn=lambda nxyz: _weighted_length(nxyz, betas_error),
+            nq=nq, R=R, D=droplets, conv_mult=conv_mult,
+            track_occupancy=False,
+        )
+        stats = ()
+        if with_stats:
+            stats = ((st.n_unique.reshape(B, K),
+                      st.n_unique_half.reshape(B, K)),)
+        if shortest_mode == "both":
+            logz, logz_s = logz_from_stream(st, with_shortest=True)
+            logz = logz.reshape(B, K)
+            logz_s = logz_s.reshape(B, K)
+            return ((jax.nn.softmax(logz, axis=-1) * 100.0,
+                     jax.nn.softmax(logz_s, axis=-1) * 100.0), logz) + stats
+        logz = logz_from_stream(
+            st, shortest_only=(shortest_mode == "only")
+        ).reshape(B, K)
+        distr = jax.nn.softmax(logz, axis=-1) * 100.0
+        return (distr, logz) + stats
+
+    return jax.jit(run)
+
+
+# streaming kicks in automatically once the materialized stream would
+# exceed this many bytes (B * K * droplets * steps * 20)
+STREAM_AUTO_BYTES = 1 << 30
+
+
+def _pick_stream_window(droplets: int, steps: int) -> int:
+    """Window size so each merge folds ~4k candidates (sort efficiency)
+    without exceeding the step budget."""
+    return int(np.clip(4096 // max(droplets, 1), 64, max(steps, 64)))
+
+
 def stdc_run(
     spec: CodeSpec,
     class_states: np.ndarray,  # (B, K, nq) per-class seeds
@@ -129,15 +207,30 @@ def stdc_run(
     engine: str = "auto",
     shortest_mode: Optional[str] = None,
     metrics=None,
+    stream: str = "auto",
+    stream_capacity: int = 4096,
+    stream_window: Optional[int] = None,
 ):
     mode = shortest_mode or ("only" if shortest_only else "off")
     # uniform sampling betas (scalar-p depolarizing chains, the common
     # case) unlock the sweep kernel's single-contraction fast path
     bs_np = np.asarray(betas_sampling, np.float32)
     eq_b = bool(bs_np[0] == bs_np[1] == bs_np[2])
-    fn = _get_stdc_fn(spec, droplets, steps, randomize, mode,
-                      conv_mult, engine, with_stats=metrics is not None,
-                      equal_betas=eq_b)
+    B, K = class_states.shape[0], class_states.shape[1]
+    if stream == "auto":
+        use_stream = B * K * droplets * steps * 20 > STREAM_AUTO_BYTES
+    else:
+        use_stream = bool(stream)
+    if use_stream:
+        fn = _get_stdc_stream_fn(
+            spec, droplets, steps, randomize, mode, conv_mult, engine,
+            metrics is not None, eq_b, stream_capacity,
+            stream_window or _pick_stream_window(droplets, steps),
+        )
+    else:
+        fn = _get_stdc_fn(spec, droplets, steps, randomize, mode,
+                          conv_mult, engine, with_stats=metrics is not None,
+                          equal_betas=eq_b)
     key = jax.random.PRNGKey(seed)
     out = fn(
         jnp.asarray(class_states, jnp.uint8),
@@ -184,10 +277,17 @@ def STDC(
     conv_mult: float = 0.0,
     engine: str = "auto",
     metrics=None,
+    stream: str = "auto",
+    stream_capacity: int = 4096,
 ) -> np.ndarray:
     """Depolarizing STDC (decoders.py:268-322).  ``init_states`` is (B, nq)
     (random start; droplets are rained) or (B, K, nq) warm starts (no rain,
-    decoders.py:277-279).  Returns (B, K) float percentages."""
+    decoders.py:277-279).  Returns (B, K) float percentages.
+
+    ``stream``: "auto" switches to the bounded-memory streaming reduction
+    once the materialized sample stream would exceed ~1 GiB, so the
+    reference-default budget (droplets=10 x steps=20000) runs at any batch
+    size; True/False force either path."""
     p_sampling = p_sampling or p_error
     randomize = init_states.ndim == 2
     seeds = _class_seeds(spec, init_states)
@@ -203,6 +303,8 @@ def STDC(
         conv_mult=conv_mult,
         engine=engine,
         metrics=metrics,
+        stream=stream,
+        stream_capacity=stream_capacity,
     )
     return distr
 
@@ -237,6 +339,7 @@ def STDC_general_noise(
     shortest_only: bool = False,
     seed: int = 0,
     engine: str = "auto",
+    stream: str = "auto",
 ) -> np.ndarray:
     """General-noise STDC (decoders.py:345-432)."""
     bs, be = _general_noise_betas(p_xyz, p_sampling)
@@ -245,7 +348,7 @@ def STDC_general_noise(
     seeds = _class_seeds(spec, init_states)
     distr, _ = stdc_run(
         spec, seeds, bs, be, droplets, steps, False, shortest_only, seed,
-        engine=engine,
+        engine=engine, stream=stream,
     )
     return distr
 
@@ -259,6 +362,7 @@ def STDC_general_noise_shortest(
     steps: int = 20000,
     seed: int = 0,
     engine: str = "auto",
+    stream: str = "auto",
 ):
     """Returns (full distribution, shortest-only distribution), both reduced
     from ONE sampled stream — exactly the reference's single-pass structure
@@ -267,7 +371,7 @@ def STDC_general_noise_shortest(
     seeds = _class_seeds(spec, init_states)
     (full, short), _ = stdc_run(
         spec, seeds, bs, be, droplets, steps, False, seed=seed,
-        shortest_mode="both", engine=engine,
+        shortest_mode="both", engine=engine, stream=stream,
     )
     return full, short
 
@@ -282,6 +386,7 @@ def STDC_Nall_n_alpha(
     steps: int = 20000,
     seed: int = 0,
     engine: str = "auto",
+    stream: str = "auto",
 ) -> np.ndarray:
     """Alpha-noise STDC on n_eff = n_z + alpha (n_x + n_y)
     (decoders.py:510-581): sampling runs at the alpha acceptance for
@@ -293,5 +398,5 @@ def STDC_Nall_n_alpha(
     # no rain: STDC_droplet_alpha never randomizes (decoders.py:520-536)
     seeds = _class_seeds(spec, init_states)
     distr, _ = stdc_run(spec, seeds, bs, be, droplets, steps, False,
-                        seed=seed, engine=engine)
+                        seed=seed, engine=engine, stream=stream)
     return distr

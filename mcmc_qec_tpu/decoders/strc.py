@@ -29,6 +29,99 @@ from ..ops.pauli import all_class_states, apply_stabilizers_uniform
 from .counting import SampleStream, make_sampler, occupancy_stats
 
 
+def _strc_reduce(m_n, N_n, shortest, next_shortest, beta_s, beta_e, nq):
+    """The STRC Z estimate from occupancy statistics (decoders.py:860-863,
+    930-946); inputs have a (..., nq+1) length axis.  Shared by the
+    materialized and streaming paths."""
+    idx_k = jnp.arange(nq + 1, dtype=jnp.float32)
+    l0 = shortest.astype(jnp.float32)
+    l1 = next_shortest.astype(jnp.float32)
+
+    def frac_at(N_n_, m_n_, l):
+        li = jnp.clip(l.astype(jnp.int32), 0, nq)
+        N = jnp.take_along_axis(N_n_, li[..., None], axis=-1)[..., 0]
+        m = jnp.take_along_axis(m_n_, li[..., None], axis=-1)[..., 0]
+        return N.astype(jnp.float32) / jnp.maximum(m.astype(jnp.float32), 1.0)
+
+    sf = frac_at(N_n, m_n, l0)
+    has_next = next_shortest <= nq
+    nsf = frac_at(N_n, m_n, l1)
+    mean_fraction = jnp.where(
+        has_next,
+        0.5 * (sf + nsf * jnp.exp(-beta_s * (l1 - l0))),
+        sf,
+    )
+    d_beta = beta_s - beta_e
+    # log of sum_n m(n) exp(-beta_s l0 + d_beta n), stably
+    shape = (1,) * (m_n.ndim - 1) + (nq + 1,)
+    logterm = jnp.where(
+        m_n > 0,
+        jnp.log(jnp.maximum(m_n.astype(jnp.float32), 1.0))
+        + d_beta * idx_k.reshape(shape),
+        -jnp.inf,
+    )
+    mx = jnp.max(logterm, axis=-1)
+    logsum = mx + jnp.log(
+        jnp.sum(jnp.exp(logterm - mx[..., None]), axis=-1)
+    )
+    logZ = jnp.log(jnp.maximum(mean_fraction, 1e-30)) - beta_s * l0 + logsum
+    return jax.nn.softmax(logZ, axis=-1) * 100.0, logZ
+
+
+@functools.lru_cache(maxsize=None)
+def _get_strc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
+                        randomize: bool, conv_mult: float, engine: str,
+                        capacity: int, window: int):
+    """Bounded-memory STRC: per-length occupancy m(n) accumulates exactly
+    in the scan carry; unique-per-length counts N(n) come from the
+    streaming buffer ranked by total length, so they are exact for every
+    n below the truncation rank — in particular at the shortest and
+    next-shortest lengths the Z estimate uses (see
+    streaming.occupancy_from_stream)."""
+    from ..ops.engines import resolve_engine as _resolve
+
+    engine = _resolve(engine, "counting")
+    iters = 5 if engine == "literal" else 1
+    from .counting import make_sampler
+    from .streaming import occupancy_from_stream, streaming_scan
+
+    sampler = make_sampler(spec, window, iters_per_step=iters, engine=engine,
+                           equal_betas=True)
+    nq = spec.nq
+
+    def run(class_states, key, betas_sampling, beta_s, beta_e):
+        B, K, _ = class_states.shape
+        R = B * K
+        states = jnp.broadcast_to(
+            class_states[:, :, None, :], (B, K, droplets, nq)
+        )
+        k_rain, k_samp = jax.random.split(key)
+        if randomize:
+            states = apply_stabilizers_uniform(spec, states, k_rain, 0.5)
+        states = states.reshape(R, droplets, nq)
+
+        def chunk(states, k):
+            states, stream = sampler(states, k, betas_sampling)
+            return states, stream.keys, stream.n_xyz
+
+        _, st = streaming_scan(
+            chunk, states, k_samp,
+            steps=steps, window=window, capacity=capacity,
+            rank_fn=lambda nx: jnp.sum(nx, axis=-1).astype(jnp.float32),
+            nq=nq, R=R, D=droplets, conv_mult=conv_mult,
+            track_occupancy=True,
+        )
+        occ = occupancy_from_stream(st, nq)
+        distr, logZ = _strc_reduce(
+            occ.m_n.reshape(B, K, nq + 1), occ.N_n.reshape(B, K, nq + 1),
+            occ.shortest.reshape(B, K), occ.next_shortest.reshape(B, K),
+            beta_s, beta_e, nq,
+        )
+        return distr, logZ
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=None)
 def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
                  conv_mult: float = 0.0, engine: str = "literal"):
@@ -66,41 +159,8 @@ def _get_strc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
             stream.n_xyz.reshape(B, K, droplets * steps, 3),
         )
         st = occupancy_stats(stream, nq, valid=valid)  # arrays (B, K, nq+1)
-
-        idx_k = jnp.arange(nq + 1, dtype=jnp.float32)
-        l0 = st.shortest.astype(jnp.float32)  # (B, K)
-        l1 = st.next_shortest.astype(jnp.float32)
-        bk = jnp.arange(nq + 1)
-
-        def frac_at(N_n, m_n, l):
-            li = jnp.clip(l.astype(jnp.int32), 0, nq)
-            N = jnp.take_along_axis(N_n, li[..., None], axis=-1)[..., 0]
-            m = jnp.take_along_axis(m_n, li[..., None], axis=-1)[..., 0]
-            return N.astype(jnp.float32) / jnp.maximum(m.astype(jnp.float32), 1.0)
-
-        sf = frac_at(st.N_n, st.m_n, l0)
-        has_next = st.next_shortest <= nq
-        nsf = frac_at(st.N_n, st.m_n, l1)
-        mean_fraction = jnp.where(
-            has_next,
-            0.5 * (sf + nsf * jnp.exp(-beta_s * (l1 - l0))),
-            sf,
-        )
-        d_beta = beta_s - beta_e
-        # log of sum_n m(n) exp(-beta_s l0 + d_beta n), stably
-        logterm = jnp.where(
-            st.m_n > 0,
-            jnp.log(jnp.maximum(st.m_n.astype(jnp.float32), 1.0))
-            + d_beta * idx_k[None, None, :],
-            -jnp.inf,
-        )
-        mx = jnp.max(logterm, axis=-1)
-        logsum = mx + jnp.log(
-            jnp.sum(jnp.exp(logterm - mx[..., None]), axis=-1)
-        )
-        logZ = jnp.log(jnp.maximum(mean_fraction, 1e-30)) - beta_s * l0 + logsum
-        distr = jax.nn.softmax(logZ, axis=-1) * 100.0
-        return distr, logZ
+        return _strc_reduce(st.m_n, st.N_n, st.shortest, st.next_shortest,
+                            beta_s, beta_e, nq)
 
     return jax.jit(run)
 
@@ -115,8 +175,15 @@ def STRC(
     seed: int = 0,
     conv_mult: float = 0.0,
     engine: str = "auto",
+    stream: str = "auto",
+    stream_capacity: int = 4096,
+    stream_window: Optional[int] = None,
 ) -> np.ndarray:
-    """Returns (B, K) float percentages (decoders.py:835-949)."""
+    """Returns (B, K) float percentages (decoders.py:835-949).
+
+    ``stream``: "auto" switches to the bounded-memory streaming reduction
+    once the materialized sample stream would exceed ~1 GiB (see
+    decoders/streaming.py); True/False force either path."""
     p_sampling = p_sampling or p_error
     randomize = init_states.ndim == 2
     if randomize:
@@ -126,7 +193,21 @@ def STRC(
         seeds = jnp.asarray(init_states, jnp.uint8)
     beta_e = float(betas_depolarizing(p_error)[0])
     beta_s = float(betas_depolarizing(p_sampling)[0])
-    fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult, engine)
+    from .stdc import STREAM_AUTO_BYTES, _pick_stream_window
+
+    B, K = seeds.shape[0], seeds.shape[1]
+    if stream == "auto":
+        use_stream = B * K * droplets * steps * 20 > STREAM_AUTO_BYTES
+    else:
+        use_stream = bool(stream)
+    if use_stream:
+        fn = _get_strc_stream_fn(
+            spec, droplets, steps, randomize, conv_mult, engine,
+            stream_capacity,
+            stream_window or _pick_stream_window(droplets, steps),
+        )
+    else:
+        fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult, engine)
     distr, _ = fn(
         seeds,
         jax.random.PRNGKey(seed),
