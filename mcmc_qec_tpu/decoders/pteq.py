@@ -61,6 +61,13 @@ class PTEQConfig:
     # device (bounded unique-key buffers in the scan carry), so it no
     # longer forces per-step host traces, energy_chunk=1 or no-ckpt.
     engine: str = "auto"
+    # replica-exchange schedule: "sequential" (reference parity — the
+    # top->bottom sweep, mcmc.py:96-99) or "even_odd" (all even pairs then
+    # all odd pairs; same stationary distribution per SURVEY §7.1 #4, no
+    # serial cross-pair dependence chain in the fused kernel; measured
+    # tops0 round-trip rate within ~5% of sequential at d=5 — see
+    # RESULTS.md "Even/odd replica exchange" for the measured tradeoff)
+    exchange: str = "sequential"
     # energy-trace coarsening: the device returns per-chunk means instead
     # of per-step energies (the felkriteriet quarter means are unchanged at
     # chunk resolution; fetching per-step traces over the remote-TPU tunnel
@@ -223,7 +230,7 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
     engine = resolve_engine(cfg.engine, "pteq")
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,
            cfg.tops_burn, track_shortest, engine, top_exact_accept, C,
-           equal_betas, cfg.shortest_unique_cap)
+           equal_betas, cfg.shortest_unique_cap, cfg.exchange)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
@@ -251,7 +258,7 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                     spec, Nc, cfg.window, cfg.iters, cfg.p_logical,
                     cfg.tops_burn, batch_tile=tb, energy_chunk=Ck,
                     top_exact=top_exact_accept, equal_betas=equal_betas,
-                    track_traces=track_shortest,
+                    track_traces=track_shortest, exchange=cfg.exchange,
                 )
 
                 def window_fused(ls: LadderState, rkey, betas, eq_count,
@@ -297,7 +304,8 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
 
     ladder_step = make_ladder_step(spec, Nc, cfg.iters, cfg.p_logical,
                                    engine=engine,
-                                   top_exact_accept=top_exact_accept)
+                                   top_exact_accept=top_exact_accept,
+                                   exchange=cfg.exchange)
     if track_shortest:
         from ..ops.pauli import make_hash_mults, pack_key
 

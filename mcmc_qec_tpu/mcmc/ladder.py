@@ -105,6 +105,7 @@ def make_ladder_step(
     p_logical: float = 0.5,
     engine: str = "literal",
     top_exact_accept: bool = False,
+    exchange: str = "sequential",
 ):
     """Build ``step(ls, key, betas) -> (ls, bottom_eq, bottom_n_xyz,
     swap_acc)`` where ``swap_acc`` is the (B, Nc-1) per-rung-pair accepted
@@ -130,6 +131,17 @@ def make_ladder_step(
     batched XOR of gated random masks — no error counting, no sequential
     chain.  Distributionally identical to the general path when the top
     betas are 0.
+
+    ``exchange``: "sequential" is the reference's top->bottom swap sweep
+    (a replica can fall the whole ladder in one step, mcmc.py:96-99);
+    "even_odd" proposes all even pairs then all odd pairs — each phase is
+    a valid Metropolis move on disjoint pairs, so the sampler targets the
+    same joint distribution (SURVEY §7.1 #4), but there is no serial
+    dependence chain across rung pairs.  A replica moves at most 2 rungs
+    per step (vs a possible full-ladder fall), yet the measured tops0
+    round-trip rate stays within ~5% of sequential at d=5 — the two
+    phases per step compensate — so TOPS/tops_burn need no recalibration
+    (tests/test_even_odd_exchange.py).
     """
     from ..ops.engines import resolve_engine
 
@@ -220,31 +232,44 @@ def make_ladder_step(
                 state, k_sweep, betas_j[None, :, :], p_log_vec[None, :]
             )
 
-        # 2) Replica-exchange sweep, top -> bottom (unrolled; Nc is small).
-        #    Swaps act on a per-ladder rung permutation; the (B, Nc, nq)
-        #    state is gathered once at the end instead of being rewritten
-        #    per accepted pair.
+        # 2) Replica-exchange sweep (unrolled; Nc is small).  Swaps act on
+        #    a per-ladder rung permutation; the (B, Nc, nq) state is
+        #    gathered once at the end instead of being rewritten per
+        #    accepted pair.
         n_xyz = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)
         perm = jnp.broadcast_to(jnp.arange(Nc)[None, :], (B, Nc))
         accepts = [None] * (Nc - 1)
-        for j, i in enumerate(reversed(range(Nc - 1))):
+
+        def accept_pair(i, j):
             ki = jax.random.fold_in(k_swap, j)
             d_beta = betas_j[i + 1] - betas_j[i]  # (3,)
             dn = n_xyz[:, i + 1] - n_xyz[:, i]  # (B, 3)
             logr = jnp.sum(d_beta * dn, axis=-1)  # (B,)
             u = jax.random.uniform(ki, (B,), minval=1e-38)
-            accept = jnp.log(u) < logr
-            accepts[i] = accept.astype(jnp.int32)
+            return jnp.log(u) < logr
 
-            def swap_rows(arr):
-                ai, aj = arr[:, i], arr[:, i + 1]
-                sel = accept.reshape((B,) + (1,) * (ai.ndim - 1))
-                arr = arr.at[:, i].set(jnp.where(sel, aj, ai))
-                return arr.at[:, i + 1].set(jnp.where(sel, ai, aj))
+        def swap_rows(arr, i, accept):
+            ai, aj = arr[:, i], arr[:, i + 1]
+            sel = accept.reshape((B,) + (1,) * (ai.ndim - 1))
+            arr = arr.at[:, i].set(jnp.where(sel, aj, ai))
+            return arr.at[:, i + 1].set(jnp.where(sel, ai, aj))
 
-            perm = swap_rows(perm)
-            flag = swap_rows(flag)
-            n_xyz = swap_rows(n_xyz)
+        if exchange == "even_odd":
+            # two phases of disjoint adjacent pairs — no serial chain
+            for phase in (0, 1):
+                for j, i in enumerate(range(phase, Nc - 1, 2)):
+                    accept = accept_pair(i, 100 * phase + j)
+                    accepts[i] = accept.astype(jnp.int32)
+                    perm = swap_rows(perm, i, accept)
+                    flag = swap_rows(flag, i, accept)
+                    n_xyz = swap_rows(n_xyz, i, accept)
+        else:
+            for j, i in enumerate(reversed(range(Nc - 1))):
+                accept = accept_pair(i, j)
+                accepts[i] = accept.astype(jnp.int32)
+                perm = swap_rows(perm, i, accept)
+                flag = swap_rows(flag, i, accept)
+                n_xyz = swap_rows(n_xyz, i, accept)
         state = jnp.take_along_axis(state, perm[:, :, None], axis=1)
 
         # 3) Flag bookkeeping (src/mcmc.py:100-103).

@@ -133,6 +133,7 @@ def make_pallas_ladder_window(
     equal_betas: bool = False,
     track_traces: bool = False,
     plane_dtype=jnp.float32,
+    exchange: str = "sequential",
 ):
     """Build ``fn(state, flag, tops0, eq_count, since_burn, seed, betas,
     weights)`` running one fused PTEQ window.
@@ -560,22 +561,23 @@ def make_pallas_ladder_window(
                 ]
             u_sw = runif((Nc, TB, SP), use, t)
             use += 1
-            for i in reversed(range(Nc - 1)):
+
+            def pair_logr(i):
                 if equal_betas:
                     db = betas_ref[i + 1, 0] - betas_ref[i, 0]
                     nes = count_lists[0]
-                    logr = db * (nes[i + 1] - nes[i])  # (TB, SP)
-                else:
-                    nxs, nys, nzs = count_lists
-                    dbx = betas_ref[i + 1, 0] - betas_ref[i, 0]
-                    dby = betas_ref[i + 1, 1] - betas_ref[i, 1]
-                    dbz = betas_ref[i + 1, 2] - betas_ref[i, 2]
-                    logr = (
-                        dbx * (nxs[i + 1] - nxs[i])
-                        + dby * (nys[i + 1] - nys[i])
-                        + dbz * (nzs[i + 1] - nzs[i])
-                    )  # (TB, SP)
-                acc = jnp.log(u_sw[i]) < logr  # (TB, SP)
+                    return db * (nes[i + 1] - nes[i])  # (TB, SP)
+                nxs, nys, nzs = count_lists
+                dbx = betas_ref[i + 1, 0] - betas_ref[i, 0]
+                dby = betas_ref[i + 1, 1] - betas_ref[i, 1]
+                dbz = betas_ref[i + 1, 2] - betas_ref[i, 2]
+                return (
+                    dbx * (nxs[i + 1] - nxs[i])
+                    + dby * (nys[i + 1] - nys[i])
+                    + dbz * (nzs[i + 1] - nzs[i])
+                )  # (TB, SP)
+
+            def apply_pair(i, acc):
                 accf = acc.astype(jnp.float32)
                 acci = acc.astype(jnp.int32)
                 acc_q = bcast(accf).astype(plane_dtype)  # (TB, nq_pad)
@@ -591,6 +593,23 @@ def make_pallas_ladder_window(
                 fls[i] = lo + acci * (hi - lo)
                 fls[i + 1] = hi + acci * (lo - hi)
                 sws[i] = sws[i] + acci  # swap-acceptance observability
+
+            if exchange == "even_odd":
+                # two phases of disjoint adjacent pairs: all even pairs'
+                # acceptances are computed from the SAME pre-phase counts
+                # (valid — the pairs share no rungs), then all odd pairs.
+                # Removes the serial cross-pair dependence chain of the
+                # top->bottom sweep (SURVEY §7.1 #4 equivalence).
+                for phase in (0, 1):
+                    pairs = list(range(phase, Nc - 1, 2))
+                    accs = [
+                        jnp.log(u_sw[i]) < pair_logr(i) for i in pairs
+                    ]
+                    for i, acc in zip(pairs, accs):
+                        apply_pair(i, acc)
+            else:
+                for i in reversed(range(Nc - 1)):
+                    apply_pair(i, jnp.log(u_sw[i]) < pair_logr(i))
 
             # --- 4) flag / tops0 bookkeeping (src/mcmc.py:100-103) ------
             fls[Nc - 1] = jnp.ones((TB, SP), jnp.int32)
