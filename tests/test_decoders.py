@@ -117,6 +117,46 @@ def test_pteq_matches_exact_posterior():
     assert tv(exact, mean_distr) < 0.2
 
 
+@pytest.mark.slow
+def test_pteq_matches_exact_posterior_tight():
+    """Long-statistics pin of PTEQ quality: TV < 0.05 vs the exact d=3
+    posterior (VERDICT r3 weak #5 — the fast test's TV < 0.2 tolerance
+    could hide a regression halving estimator quality).  64 replicas x
+    24k steps averages down the occupation estimator's autocorrelation."""
+    spec, s0 = _syndrome_state("toric", 3)
+    exact = exact_class_posterior(spec, s0, betas_depolarizing(0.1), np_to_class)
+    B = 64
+    res = PTEQ(
+        spec, np.tile(s0[None], (B, 1)), 0.1,
+        PTEQConfig(max_steps=24000, window=400, TOPS=30, SEQ=4),
+        seed=2,
+    )
+    assert res.converged.all()
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) == np.argmax(exact)
+    assert tv(exact, mean_distr) < 0.05, (exact, mean_distr)
+
+
+@pytest.mark.slow
+def test_pteq_alpha_matches_exact_posterior_tight():
+    """Same long-statistics bar for the alpha-noise PTEQ variant
+    (decoders_biasednoise.py:175-222): TV < 0.05 vs the exact posterior
+    under the alpha weighting."""
+    spec, s0 = _syndrome_state("xzzx", 3, p=0.1, seed=3)
+    alpha, pz_tilde = 2.0, 0.15
+    b = -np.log(pz_tilde)
+    be = np.array([alpha * b, alpha * b, b])
+    exact = exact_class_posterior(spec, s0, be, np_to_class)
+    B = 64
+    res = PTEQ_alpha(
+        spec, np.tile(s0[None], (B, 1)), pz_tilde, alpha,
+        PTEQConfig(max_steps=24000, window=400, TOPS=30, SEQ=4), seed=4,
+    )
+    mean_distr = res.distribution.mean(axis=0) / 100.0
+    assert np.argmax(mean_distr) == np.argmax(exact)
+    assert tv(exact, mean_distr) < 0.05, (exact, mean_distr)
+
+
 def test_pteq_alpha_runs_and_is_sane():
     spec, s0 = _syndrome_state("xzzx", 3, p=0.1, seed=3)
     alpha, pz_tilde = 2.0, 0.15
