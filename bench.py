@@ -112,7 +112,30 @@ def bench_stdc_decoder(d=5, B=1024, steps=450, droplets=4):
     return best, syn_rate
 
 
-def bench_fused_window(d=5, B=2048, W=600, iters=2):
+def bench_stdc_stream(d=9, B=512, steps=20000, droplets=10):
+    """STDC at the reference's own default budget (droplets=10 x
+    steps=20000, /root/reference/decoders.py:268) via the bounded-memory
+    streaming reduction — the materialized path would need ~33 GB HBM at
+    this shape (decoders/streaming.py)."""
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+    from mcmc_qec_tpu.decoders import STDC
+
+    spec = get_spec("toric", d)
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(0), spec, 0.1, (B,))
+    )
+    STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps, seed=1)
+    best = 0.0
+    for rep in range(2):
+        t0 = time.perf_counter()
+        STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps,
+             seed=rep + 2)
+        best = max(best, B / (time.perf_counter() - t0))
+    return best
+
+
+def bench_fused_window(d=5, B=2048, W=600, iters=2, exchange="sequential"):
     """Raw fused PT-ladder window: ms per window, ladder-steps/s and the
     MXU-accounting MFU (see utils/roofline.pallas_ladder_mxu_flops — the
     kernel is VPU/issue-bound, not MXU-bound, so MFU is an accounting
@@ -131,7 +154,7 @@ def bench_fused_window(d=5, B=2048, W=600, iters=2):
     K = spec.n_classes
     fn = jax.jit(make_pallas_ladder_window(
         spec, Nc, W, iters, 0.5, 2, batch_tile=128, energy_chunk=12,
-        top_exact=True, equal_betas=True))
+        top_exact=True, equal_betas=True, exchange=exchange))
     args = (ls.state, ls.flag, ls.tops0, jnp.zeros((B, K), jnp.int32),
             jnp.zeros((B,), jnp.int32), 7, betas,
             jnp.ones((3,), jnp.float32))
@@ -237,11 +260,28 @@ def main():
         # tile through d=19 — see RESULTS.md VMEM table).  d=13 is the
         # recorded extra; larger d compile slowly on cold caches.
         if time.perf_counter() - t_start < budget * 0.89:
-            ms13, steps13, _ = bench_fused_window(d=13, B=512)
+            ms13, steps13, mfu13 = bench_fused_window(d=13, B=512)
             extra["fused_window_ms_d13"] = round(ms13, 1)
             extra["fused_ladder_steps_per_sec_d13"] = round(steps13, 1)
+            extra["fused_ladder_mfu_d13"] = round(mfu13, 4)
     except Exception as e:  # pragma: no cover
         extra["fused_window_d13_error"] = str(e)[:200]
+    try:
+        # STDC at the reference's default budget via streaming (VERDICT r4
+        # task 1) — the headline bounded-memory result
+        if time.perf_counter() - t_start < budget * 0.82:
+            extra["stdc_stream_ref_budget_syn_per_sec_d9"] = round(
+                bench_stdc_stream(), 1)
+    except Exception as e:  # pragma: no cover
+        extra["stdc_stream_error"] = str(e)[:200]
+    try:
+        # production-size PTEQ with the d-scaled step cap (VERDICT r4
+        # task 2: >= 90% convergence at d=13; cap calibrated in RESULTS.md)
+        if time.perf_counter() - t_start < budget * 0.9:
+            extra["pteq_syndromes_per_sec_d13"] = round(
+                bench_pteq(B=256, d=13, p=0.10, max_steps=36000), 1)
+    except Exception as e:  # pragma: no cover
+        extra["pteq_d13_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.9:
             extra["pallas_d9"] = round(bench_pallas(d=9), 1)

@@ -1,0 +1,180 @@
+"""Threshold estimate with uncertainties — finite-size-scaling fit of the
+PTEQ failure-rate crossing (the reference project's headline scientific
+deliverable, /root/reference/plot_uncorrelated.py:200-301, which plots the
+curves but never fits the crossing).
+
+Model: near threshold the logical failure rate obeys the standard
+finite-size-scaling ansatz
+
+    f(p, d) = A + B x + C x^2,     x = (p - p_th) d^(1/nu)
+
+(quadratic expansion of the universal scaling function; e.g. Wang, Harrington
+& Preskill 2003 for the toric-code random-bond mapping).  We fit
+(p_th, nu, A, B, C) by weighted least squares over a (d, p) grid with
+binomial errors, and report p_th +/- CI from a parametric bootstrap.
+
+Usage:
+  # collect (runs PTEQ on TPU; resumable, appends to --data):
+  python examples/threshold_fit.py collect --sizes 5,7,9,11,13 \
+      --ps 0.175,0.1825,0.19,0.1975 -n 2048 --data /tmp/thr.json
+  # fit:
+  python examples/threshold_fit.py fit --data /tmp/thr.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def collect(args):
+    import jax
+
+    from mcmc_qec_tpu.models import get_spec, np_eq_class
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+    from mcmc_qec_tpu.decoders.pteq import PTEQ, PTEQConfig
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    ps = [float(x) for x in args.ps.split(",")]
+    done = {}
+    results = []
+    if os.path.exists(args.data):
+        results = json.load(open(args.data))
+        done = {(r["d"], r["p"], r["n"]) for r in results}
+    for d in sizes:
+        spec = get_spec("toric", d)
+        # step cap: scaled with d for >= 90% convergence at threshold
+        # (calibrated in RESULTS.md "Converged production PTEQ"; the
+        # reference's convention is proposals ~ 5 d^5, generate_data.py:296)
+        cap = args.cap or max(24000, int(args.cap_c * d**3))
+        cfg = PTEQConfig(engine="auto", max_steps=cap, window=600, iters=2,
+                         energy_chunk=12)
+        for p in ps:
+            tag = (d, p, args.n)
+            if tag in done:
+                continue
+            fails = conv = 0
+            t0 = time.perf_counter()
+            B = min(args.batch, args.n)
+            for rep in range(-(-args.n // B)):
+                states = np.asarray(
+                    sample_depolarizing(
+                        jax.random.PRNGKey(1000 * rep + d), spec, p, (B,)
+                    )
+                )
+                truth = np_eq_class(spec, states)
+                res = PTEQ(spec, states, p, cfg, seed=rep + 1)
+                fails += int(
+                    (np.argmax(res.distribution, -1) != truth).sum()
+                )
+                conv += int(res.converged.sum())
+            n = B * (-(-args.n // B))
+            rec = {
+                "d": d, "p": p, "n": n, "fails": fails,
+                "failure_rate": fails / n,
+                "mc_err": float(np.sqrt(max(fails / n * (1 - fails / n), 1e-9) / n)),
+                "converged_frac": conv / n,
+                "cap": cap,
+                "seconds": round(time.perf_counter() - t0, 1),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+            with open(args.data, "w") as f:
+                json.dump(results, f, indent=1)
+
+
+def _fit_once(ds, ps, fs, ws):
+    """Weighted LS fit of (p_th, nu, A, B, C); returns params."""
+    from scipy.optimize import least_squares
+
+    def resid(theta):
+        p_th, inv_nu, A, B, C = theta
+        x = (ps - p_th) * ds**inv_nu
+        model = A + B * x + C * x**2
+        return (model - fs) * ws
+
+    th0 = np.array([0.189, 1.0 / 1.5, np.mean(fs), 1.0, 0.0])
+    sol = least_squares(resid, th0, method="lm", max_nfev=20000)
+    return sol.x
+
+
+def fit(args):
+    results = json.load(open(args.data))
+    if args.min_converged:
+        results = [r for r in results
+                   if r.get("converged_frac", 1.0) >= args.min_converged]
+    ds = np.array([r["d"] for r in results], float)
+    ps = np.array([r["p"] for r in results], float)
+    fs = np.array([r["failure_rate"] for r in results], float)
+    ns = np.array([r["n"] for r in results], float)
+    errs = np.sqrt(np.maximum(fs * (1 - fs), 1e-9) / ns)
+    ws = 1.0 / errs
+    theta = _fit_once(ds, ps, fs, ws)
+    p_th, inv_nu = theta[0], theta[1]
+    # parametric bootstrap: resample each point from Binomial(n, f_fit-ish)
+    rng = np.random.RandomState(0)
+    boots = []
+    for _ in range(args.boot):
+        fb = rng.binomial(ns.astype(int), np.clip(fs, 1e-6, 1 - 1e-6)) / ns
+        try:
+            tb = _fit_once(ds, ps, fb, ws)
+            if 0.1 < tb[0] < 0.3:
+                boots.append(tb[:2])
+        except Exception:
+            pass
+    boots = np.array(boots)
+    lo, hi = np.percentile(boots[:, 0], [2.5, 97.5])
+    nu = 1.0 / inv_nu
+    nus = 1.0 / boots[:, 1]
+    nlo, nhi = np.percentile(nus, [2.5, 97.5])
+    out = {
+        "p_th": round(float(p_th), 5),
+        "p_th_ci95": [round(float(lo), 5), round(float(hi), 5)],
+        "nu": round(float(nu), 3),
+        "nu_ci95": [round(float(nlo), 3), round(float(nhi), 3)],
+        "n_points": len(results),
+        "n_boot_ok": len(boots),
+        "residual_chi2_per_dof": round(
+            float(np.sum(((_model(theta, ds, ps) - fs) * ws) ** 2)
+                  / max(len(fs) - 5, 1)), 2),
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+def _model(theta, ds, ps):
+    p_th, inv_nu, A, B, C = theta
+    x = (ps - p_th) * ds**inv_nu
+    return A + B * x + C * x**2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("collect")
+    c.add_argument("--sizes", default="5,7,9,11,13")
+    c.add_argument("--ps", default="0.175,0.1825,0.19,0.1975")
+    c.add_argument("-n", type=int, default=2048)
+    c.add_argument("--batch", type=int, default=512)
+    c.add_argument("--cap", type=int, default=None,
+                   help="fixed step cap (default: cap_c * d^3)")
+    c.add_argument("--cap-c", type=float, default=50.0)
+    c.add_argument("--data", required=True)
+    f = sub.add_parser("fit")
+    f.add_argument("--data", required=True)
+    f.add_argument("--boot", type=int, default=400)
+    f.add_argument("--min-converged", type=float, default=0.0)
+    args = ap.parse_args()
+    if args.cmd == "collect":
+        collect(args)
+    else:
+        fit(args)
+
+
+if __name__ == "__main__":
+    main()
