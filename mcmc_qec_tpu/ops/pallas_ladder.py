@@ -607,6 +607,11 @@ def make_pallas_ladder_window(
                     ]
                     for i, acc in zip(pairs, accs):
                         apply_pair(i, acc)
+            elif exchange == "none":
+                # ablation only — NOT a valid sampler (rungs never
+                # exchange): isolates the exchange sub-phase's cost in
+                # the roofline decomposition (RESULTS.md)
+                pass
             else:
                 for i in reversed(range(Nc - 1)):
                     apply_pair(i, jnp.log(u_sw[i]) < pair_logr(i))
