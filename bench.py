@@ -269,7 +269,7 @@ def main():
     try:
         # STDC at the reference's default budget via streaming (VERDICT r4
         # task 1) — the headline bounded-memory result
-        if time.perf_counter() - t_start < budget * 0.82:
+        if time.perf_counter() - t_start < budget * 0.90:
             extra["stdc_stream_ref_budget_syn_per_sec_d9"] = round(
                 bench_stdc_stream(), 1)
     except Exception as e:  # pragma: no cover
@@ -277,18 +277,20 @@ def main():
     try:
         # production-size PTEQ with the d-scaled step cap (VERDICT r4
         # task 2: >= 90% convergence at d=13; cap calibrated in RESULTS.md)
-        if time.perf_counter() - t_start < budget * 0.9:
+        if time.perf_counter() - t_start < budget * 0.92:
+            # cap 96k (= 3 * 32000): measured 100% felkriteriet
+            # convergence at d=13 (RESULTS.md round-4 production table)
             extra["pteq_syndromes_per_sec_d13"] = round(
-                bench_pteq(B=256, d=13, p=0.10, max_steps=36000), 1)
+                bench_pteq(B=256, d=13, p=0.10, max_steps=32000), 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_d13_error"] = str(e)[:200]
     try:
-        if time.perf_counter() - t_start < budget * 0.9:
+        if time.perf_counter() - t_start < budget * 0.94:
             extra["pallas_d9"] = round(bench_pallas(d=9), 1)
     except Exception as e:  # pragma: no cover
         extra["pallas_d9_error"] = str(e)[:200]
     try:
-        if time.perf_counter() - t_start < budget * 0.92:
+        if time.perf_counter() - t_start < budget * 0.96:
             extra["pallas_d13"] = round(bench_pallas(d=13, batch=16384), 1)
     except Exception as e:  # pragma: no cover
         extra["pallas_d13_error"] = str(e)[:200]

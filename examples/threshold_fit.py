@@ -88,18 +88,24 @@ def collect(args):
                 json.dump(results, f, indent=1)
 
 
-def _fit_once(ds, ps, fs, ws):
-    """Weighted LS fit of (p_th, nu, A, B, C); returns params."""
+def _fit_once(ds, ps, fs, ws, correction=False):
+    """Weighted LS fit of (p_th, nu, A, B, C[, D]); with ``correction`` the
+    model adds the leading non-universal finite-size term D d^-1 (cf. the
+    correction-to-scaling treatment in Wang-Harrington-Preskill 2003)."""
     from scipy.optimize import least_squares
 
     def resid(theta):
-        p_th, inv_nu, A, B, C = theta
+        p_th, inv_nu, A, B, C = theta[:5]
         x = (ps - p_th) * ds**inv_nu
         model = A + B * x + C * x**2
+        if correction:
+            model = model + theta[5] / ds
         return (model - fs) * ws
 
-    th0 = np.array([0.189, 1.0 / 1.5, np.mean(fs), 1.0, 0.0])
-    sol = least_squares(resid, th0, method="lm", max_nfev=20000)
+    th0 = [0.189, 1.0 / 1.5, np.mean(fs), 1.0, 0.0]
+    if correction:
+        th0.append(0.0)
+    sol = least_squares(resid, np.array(th0), method="lm", max_nfev=20000)
     return sol.x
 
 
@@ -114,7 +120,7 @@ def fit(args):
     ns = np.array([r["n"] for r in results], float)
     errs = np.sqrt(np.maximum(fs * (1 - fs), 1e-9) / ns)
     ws = 1.0 / errs
-    theta = _fit_once(ds, ps, fs, ws)
+    theta = _fit_once(ds, ps, fs, ws, correction=args.correction)
     p_th, inv_nu = theta[0], theta[1]
     # parametric bootstrap: resample each point from Binomial(n, f_fit-ish)
     rng = np.random.RandomState(0)
@@ -122,7 +128,7 @@ def fit(args):
     for _ in range(args.boot):
         fb = rng.binomial(ns.astype(int), np.clip(fs, 1e-6, 1 - 1e-6)) / ns
         try:
-            tb = _fit_once(ds, ps, fb, ws)
+            tb = _fit_once(ds, ps, fb, ws, correction=args.correction)
             if 0.1 < tb[0] < 0.3:
                 boots.append(tb[:2])
         except Exception:
@@ -132,25 +138,30 @@ def fit(args):
     nu = 1.0 / inv_nu
     nus = 1.0 / boots[:, 1]
     nlo, nhi = np.percentile(nus, [2.5, 97.5])
+    n_par = 6 if args.correction else 5
     out = {
         "p_th": round(float(p_th), 5),
         "p_th_ci95": [round(float(lo), 5), round(float(hi), 5)],
         "nu": round(float(nu), 3),
         "nu_ci95": [round(float(nlo), 3), round(float(nhi), 3)],
+        "correction": bool(args.correction),
         "n_points": len(results),
         "n_boot_ok": len(boots),
         "residual_chi2_per_dof": round(
             float(np.sum(((_model(theta, ds, ps) - fs) * ws) ** 2)
-                  / max(len(fs) - 5, 1)), 2),
+                  / max(len(fs) - n_par, 1)), 2),
     }
     print(json.dumps(out, indent=1))
     return out
 
 
 def _model(theta, ds, ps):
-    p_th, inv_nu, A, B, C = theta
+    p_th, inv_nu, A, B, C = theta[:5]
     x = (ps - p_th) * ds**inv_nu
-    return A + B * x + C * x**2
+    model = A + B * x + C * x**2
+    if len(theta) > 5:
+        model = model + theta[5] / ds
+    return model
 
 
 def main():
@@ -169,6 +180,8 @@ def main():
     f.add_argument("--data", required=True)
     f.add_argument("--boot", type=int, default=400)
     f.add_argument("--min-converged", type=float, default=0.0)
+    f.add_argument("--correction", action="store_true",
+                   help="add the leading D/d correction-to-scaling term")
     args = ap.parse_args()
     if args.cmd == "collect":
         collect(args)
