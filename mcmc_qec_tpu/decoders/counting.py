@@ -136,14 +136,19 @@ def chronological_first_occurrence(keys: jax.Array) -> jax.Array:
 
 
 def conv_mult_valid_mask(keys: jax.Array, n: jax.Array, conv_mult: float,
-                         steps: int) -> jax.Array:
+                         steps: int, t: Optional[jax.Array] = None) -> jax.Array:
     """Per-step validity under the reference's shortest-chain extension rule
     (decoders.py:249-263): every *new* chain with length <= the running
     shortest extends the stop point to step * conv_mult; sampling ends at the
     first step with step >= stop and step*100 >= steps.  Samples after the
-    break contribute nothing (equivalent in distribution to breaking)."""
+    break contribute nothing (equivalent in distribution to breaking).
+
+    ``t`` optionally supplies each sample's step index (e.g. the PT
+    variants record Nc rung visits per ladder step, which all share the
+    outer step index, decoders.py:146-161); default = sample position."""
     first = chronological_first_occurrence(keys)
-    t = jnp.arange(n.shape[0])
+    if t is None:
+        t = jnp.arange(n.shape[0])
 
     def body(carry, inp):
         shortest, stop, broken = carry

@@ -200,6 +200,7 @@ def PTDC(
     stream: str = "auto",
     stream_capacity: int = 4096,
     stream_window: int = 256,
+    conv_mult: float = 0.0,
 ) -> np.ndarray:
     """Direct counting over PT samples (decoders.py:168-233).  All rungs'
     visits enter one unique-chain set per class; Z = sum_unique
@@ -207,7 +208,13 @@ def PTDC(
     (decoders.py:233).
 
     ``stream``: "auto" switches to the bounded-memory streaming reduction
-    once the materialized stream would exceed ~1 GiB."""
+    once the materialized stream would exceed ~1 GiB.
+
+    ``conv_mult``: the shortest-chain extension rule over each droplet
+    ladder's combined rung stream (decoders.py:156-161; reference default
+    0 = off).  The rule's step index is the *outer* ladder step (all Nc
+    rung visits of a step share it).  Runs on the materialized path
+    (conv_mult forces it)."""
     p_sampling = p_sampling or p_error
     Nc = Nc or spec.size
     steps_eff = steps // Nc
@@ -221,6 +228,11 @@ def PTDC(
         use_stream = B * K * droplets * Nc * steps_eff * 20 > STREAM_AUTO_BYTES
     else:
         use_stream = bool(stream)
+    if conv_mult:
+        # the conv_mult automaton needs the chronological per-droplet
+        # stream; the bounded-memory path does not carry one per droplet
+        # across rungs, so the materialized reduction is used
+        use_stream = False
     if use_stream:
         from .streaming import logz_from_stream
 
@@ -242,12 +254,41 @@ def PTDC(
             spec, init_states, p_sampling, Nc, steps_eff, droplets, iters,
             seed, engine,
         )
-        # merge rung axis into the sample axis: dedup across the whole ladder
-        merged = SampleStream(
-            stream_s.keys.reshape(B, K, -1, 2),
-            stream_s.n_xyz.reshape(B, K, -1, 3),
-        )
-        logz = z_direct_count(merged, be)
+        valid = None
+        if conv_mult:
+            from .counting import conv_mult_valid_mask
+
+            # rebuild the chronological per-droplet stream (step-major,
+            # rung-minor — the reference records every rung within a step
+            # before advancing, decoders.py:146-153) and gate it
+            k5 = stream_s.keys.reshape(B, K, Nc, droplets, steps_eff, 2)
+            n5 = stream_s.n_xyz.reshape(B, K, Nc, droplets, steps_eff, 3)
+            kc = jnp.transpose(k5, (0, 1, 3, 4, 2, 5)).reshape(
+                B * K * droplets, steps_eff * Nc, 2
+            )
+            nc_ = jnp.transpose(n5, (0, 1, 3, 4, 2, 5)).reshape(
+                B * K * droplets, steps_eff * Nc, 3
+            )
+            ntot = jnp.sum(nc_, -1).astype(jnp.float32)
+            t_idx = jnp.repeat(
+                jnp.arange(steps_eff), Nc
+            ).astype(jnp.float32)
+            valid = jax.vmap(
+                lambda k_, n_: conv_mult_valid_mask(
+                    k_, n_, conv_mult, steps_eff, t=t_idx
+                )
+            )(kc, ntot).reshape(B, K, droplets * steps_eff * Nc)
+            merged = SampleStream(
+                kc.reshape(B, K, -1, 2), nc_.reshape(B, K, -1, 3)
+            )
+        else:
+            # merge rung axis into the sample axis: dedup across the
+            # whole ladder
+            merged = SampleStream(
+                stream_s.keys.reshape(B, K, -1, 2),
+                stream_s.n_xyz.reshape(B, K, -1, 3),
+            )
+        logz = z_direct_count(merged, be, valid=valid)
     distr = jax.nn.softmax(logz, axis=-1) * 100.0
     return np.asarray(distr).astype(np.uint8)
 
@@ -311,6 +352,7 @@ def PTRC(
     stream: str = "auto",
     stream_capacity: int = 2048,
     stream_window: int = 256,
+    conv_mult: float = 2.0,
 ) -> np.ndarray:
     """Ratio counting over PT samples (decoders.py:638-742): per rung i
     (except the top),
@@ -324,7 +366,13 @@ def PTRC(
     with beta_i from the p-ladder and d_beta_i = beta_i - beta_error.
     The reduction runs on-device in log space (no (B, K, Nc, nq+1) host
     fetch; scales to large batch x Nc).  Returns uint8 percentages
-    (decoders.py:742)."""
+    (decoders.py:742).
+
+    ``conv_mult`` is accepted for signature parity (reference default
+    2.0) but is a no-op, exactly as in the reference: PTRC_droplet
+    updates the stop point yet its break is commented out
+    (decoders.py:626-631), so every sample is recorded regardless."""
+    del conv_mult  # dead knob in the reference too (decoders.py:631)
     p_sampling = p_sampling or p_error
     Nc = Nc or spec.size
     steps_eff = steps // Nc
