@@ -311,6 +311,28 @@ class TestOtherDecodersStreaming:
             d_mat.astype(int) - d_str.astype(int)
         ).max() <= 12
 
+    def test_ptdc_conv_mult_knob(self):
+        """conv_mult parity on PTDC (decoders.py:156-161): a conv_mult so
+        large the stop point never binds must reproduce the conv_mult=0
+        run exactly (same RNG stream, every sample valid); a tiny
+        conv_mult still yields a normalized distribution."""
+        from mcmc_qec_tpu.decoders import PTDC
+        from mcmc_qec_tpu.models import get_spec
+        from mcmc_qec_tpu.models.noise import sample_depolarizing
+
+        spec = get_spec("toric", 3)
+        states = np.asarray(
+            sample_depolarizing(jax.random.PRNGKey(6), spec, 0.1, (2,))
+        )
+        kw = dict(droplets=2, Nc=3, steps=1500, engine="sweep", seed=11,
+                  stream=False)
+        d_off = PTDC(spec, states, 0.1, **kw)
+        d_huge = PTDC(spec, states, 0.1, conv_mult=1e9, **kw)
+        np.testing.assert_array_equal(d_off, d_huge)
+        d_tiny = PTDC(spec, states, 0.1, conv_mult=1e-4, **kw)
+        s = d_tiny.astype(int).sum(-1)
+        assert ((s >= 97) & (s <= 100)).all()
+
     def test_ptrc_stream_matches_materialized(self):
         from mcmc_qec_tpu.decoders import PTRC
         from mcmc_qec_tpu.models import get_spec
