@@ -55,12 +55,13 @@ def collect(args):
         cfg = PTEQConfig(engine="auto", max_steps=cap, window=600, iters=2,
                          energy_chunk=12)
         for p in ps:
-            tag = (d, p, args.n)
+            B = min(args.batch, args.n)
+            n_total = B * (-(-args.n // B))  # the n actually stored
+            tag = (d, p, n_total)
             if tag in done:
                 continue
             fails = conv = 0
             t0 = time.perf_counter()
-            B = min(args.batch, args.n)
             for rep in range(-(-args.n // B)):
                 states = np.asarray(
                     sample_depolarizing(
@@ -118,7 +119,9 @@ def fit(args):
     ps = np.array([r["p"] for r in results], float)
     fs = np.array([r["failure_rate"] for r in results], float)
     ns = np.array([r["n"] for r in results], float)
-    errs = np.sqrt(np.maximum(fs * (1 - fs), 1e-9) / ns)
+    # variance floor ~ binomial zero-count scale 1/n (a fixed 1e-9 floor
+    # would give zero-failure points ~10^4x the weight of typical ones)
+    errs = np.sqrt(np.maximum(fs * (1 - fs), 1.0 / ns) / ns)
     ws = 1.0 / errs
     theta = _fit_once(ds, ps, fs, ws, correction=args.correction)
     p_th, inv_nu = theta[0], theta[1]
@@ -134,10 +137,14 @@ def fit(args):
         except Exception:
             pass
     boots = np.array(boots)
-    lo, hi = np.percentile(boots[:, 0], [2.5, 97.5])
     nu = 1.0 / inv_nu
-    nus = 1.0 / boots[:, 1]
-    nlo, nhi = np.percentile(nus, [2.5, 97.5])
+    if len(boots):
+        lo, hi = np.percentile(boots[:, 0], [2.5, 97.5])
+        nus = 1.0 / boots[:, 1]
+        nlo, nhi = np.percentile(nus, [2.5, 97.5])
+    else:  # every bootstrap refit failed: report the point estimate only
+        lo = hi = p_th
+        nlo = nhi = nu
     n_par = 6 if args.correction else 5
     out = {
         "p_th": round(float(p_th), 5),

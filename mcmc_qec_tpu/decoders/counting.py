@@ -136,33 +136,45 @@ def chronological_first_occurrence(keys: jax.Array) -> jax.Array:
 
 
 def conv_mult_valid_mask(keys: jax.Array, n: jax.Array, conv_mult: float,
-                         steps: int, t: Optional[jax.Array] = None) -> jax.Array:
+                         steps: int, t: Optional[jax.Array] = None,
+                         step_end: Optional[jax.Array] = None) -> jax.Array:
     """Per-step validity under the reference's shortest-chain extension rule
     (decoders.py:249-263): every *new* chain with length <= the running
     shortest extends the stop point to step * conv_mult; sampling ends at the
     first step with step >= stop and step*100 >= steps.  Samples after the
     break contribute nothing (equivalent in distribution to breaking).
 
-    ``t`` optionally supplies each sample's step index (e.g. the PT
-    variants record Nc rung visits per ladder step, which all share the
-    outer step index, decoders.py:146-161); default = sample position."""
+    ``t`` optionally supplies each sample's step index (the PT variants
+    record Nc rung visits per ladder step, all sharing the outer step
+    index, decoders.py:146-161); default = sample position.  When a step
+    spans multiple samples, ``step_end`` must mark each step's LAST
+    sample: the reference records every rung of step s (and applies any
+    stop extension found at any rung) BEFORE evaluating the break
+    (decoders.py:156-161), so ``broken`` may only transition at step
+    boundaries — never between rungs of one step."""
     first = chronological_first_occurrence(keys)
     if t is None:
         t = jnp.arange(n.shape[0])
+    if step_end is None:
+        step_end = jnp.ones(n.shape[0], bool)
 
     def body(carry, inp):
         shortest, stop, broken = carry
-        step, nt, ft = inp
+        step, nt, ft, se = inp
         is_new_short = ft & (nt <= shortest)
         shortest = jnp.where(is_new_short, nt, shortest)
         stop = jnp.where(is_new_short, step * conv_mult, stop)
         valid = ~broken
-        broken = broken | ((step >= stop) & (step * 100 >= steps))
+        broken = broken | (
+            se & (step >= stop) & (step * 100 >= steps)
+        )
         return (shortest, stop, broken), valid
 
     init = (jnp.asarray(n.max() + 1, n.dtype), jnp.asarray(float(steps)),
             jnp.asarray(False))
-    _, valid = jax.lax.scan(body, init, (t.astype(jnp.float32), n, first))
+    _, valid = jax.lax.scan(
+        body, init, (t.astype(jnp.float32), n, first, step_end)
+    )
     return valid
 
 

@@ -222,12 +222,9 @@ def PTDC(
     be = jnp.asarray(betas_depolarizing(p_error), jnp.float32)
     seeds = _pt_seeds(spec, init_states)
     B, K = seeds.shape[:2]
-    from .stdc import STREAM_AUTO_BYTES
+    from .streaming import should_stream
 
-    if stream == "auto":
-        use_stream = B * K * droplets * Nc * steps_eff * 20 > STREAM_AUTO_BYTES
-    else:
-        use_stream = bool(stream)
+    use_stream = should_stream(stream, B * K, droplets * Nc, steps_eff)
     if conv_mult:
         # the conv_mult automaton needs the chronological per-droplet
         # stream; the bounded-memory path does not carry one per droplet
@@ -273,9 +270,15 @@ def PTDC(
             t_idx = jnp.repeat(
                 jnp.arange(steps_eff), Nc
             ).astype(jnp.float32)
+            # the break may only fire after a step's LAST rung visit
+            # (decoders.py:156-161: all rungs recorded, stop possibly
+            # extended, THEN the break check)
+            se = jnp.tile(
+                jnp.arange(Nc) == Nc - 1, steps_eff
+            )
             valid = jax.vmap(
                 lambda k_, n_: conv_mult_valid_mask(
-                    k_, n_, conv_mult, steps_eff, t=t_idx
+                    k_, n_, conv_mult, steps_eff, t=t_idx, step_end=se
                 )
             )(kc, ntot).reshape(B, K, droplets * steps_eff * Nc)
             merged = SampleStream(
@@ -380,13 +383,9 @@ def PTRC(
     nq = spec.nq
     seeds = _pt_seeds(spec, init_states)
     B, K = seeds.shape[:2]
-    from .stdc import STREAM_AUTO_BYTES
+    from .streaming import should_stream
 
-    if stream == "auto":
-        use_stream = B * K * droplets * Nc * steps_eff * 20 > STREAM_AUTO_BYTES
-    else:
-        use_stream = bool(stream)
-    if use_stream:
+    if should_stream(stream, B * K, droplets * Nc, steps_eff):
         from .streaming import occupancy_from_stream
 
         flat = jnp.broadcast_to(
@@ -406,6 +405,17 @@ def PTRC(
         N_n = occ.N_n.reshape(B, K, Nc, nq + 1)
         shortest = occ.shortest.reshape(B, K, Nc)
         next_shortest = occ.next_shortest.reshape(B, K, Nc)
+        from .strc import _warn_occupancy_truncation
+
+        trunc_bad = (
+            np.isfinite(np.asarray(occ.trunc_at))
+            & (np.asarray(occ.trunc_at)
+               <= np.asarray(occ.next_shortest, np.float32))
+        ).reshape(B, K, Nc)
+        # the top (infinite-temperature) rung is excluded from the
+        # reduction (decoders.py:726) — don't warn about it
+        _warn_occupancy_truncation(trunc_bad[..., :-1], "PTRC",
+                                   stream_capacity)
     else:
         stream_s, ladder = _pt_stream(
             spec, init_states, p_sampling, Nc, steps_eff, droplets, iters,

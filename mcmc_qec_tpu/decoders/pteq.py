@@ -226,6 +226,12 @@ def _get_window_fn(spec: CodeSpec, Nc: int, cfg: PTEQConfig,
                    equal_betas: bool = False):
     from ..ops.engines import resolve_engine
 
+    if cfg.exchange not in ("sequential", "even_odd"):
+        # the kernel-level "none" ablation is not a valid sampler — it
+        # must not be reachable through the decoder config
+        raise ValueError(
+            f"exchange={cfg.exchange!r}: expected 'sequential' or 'even_odd'"
+        )
     C = cfg.energy_chunk
     engine = resolve_engine(cfg.engine, "pteq")
     key = (spec.family, spec.size, Nc, cfg.iters, cfg.p_logical, cfg.window,

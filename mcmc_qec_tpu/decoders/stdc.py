@@ -94,7 +94,12 @@ def _get_stdc_fn(spec: CodeSpec, droplets: int, steps: int, randomize: bool,
             def disc(keys_one):
                 first = chronological_first_occurrence(keys_one)
                 t = jnp.arange(n_samp)
-                return first.sum(), (first & (t < n_samp // 2)).sum()
+                # half-time = the first half of each droplet's own steps
+                # (the merged axis is droplet-major) — the saturation
+                # diagnostic asks about TIME, matching the streaming
+                # path's halfway snapshot
+                half = (t % steps) < steps // 2
+                return first.sum(), (first & half).sum()
 
             u_tot, u_half = jax.vmap(disc)(keys_.reshape(-1, n_samp, 2))
             stats = ((u_tot.reshape(B, K), u_half.reshape(B, K)),)
@@ -182,11 +187,6 @@ def _get_stdc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
     return jax.jit(run)
 
 
-# streaming kicks in automatically once the materialized stream would
-# exceed this many bytes (B * K * droplets * steps * 20)
-STREAM_AUTO_BYTES = 1 << 30
-
-
 def _pick_stream_window(droplets: int, steps: int) -> int:
     """Window size so each merge folds ~4k candidates (sort efficiency)
     without exceeding the step budget."""
@@ -216,12 +216,10 @@ def stdc_run(
     # case) unlock the sweep kernel's single-contraction fast path
     bs_np = np.asarray(betas_sampling, np.float32)
     eq_b = bool(bs_np[0] == bs_np[1] == bs_np[2])
+    from .streaming import should_stream
+
     B, K = class_states.shape[0], class_states.shape[1]
-    if stream == "auto":
-        use_stream = B * K * droplets * steps * 20 > STREAM_AUTO_BYTES
-    else:
-        use_stream = bool(stream)
-    if use_stream:
+    if should_stream(stream, B * K, droplets, steps):
         fn = _get_stdc_stream_fn(
             spec, droplets, steps, randomize, mode, conv_mult, engine,
             metrics is not None, eq_b, stream_capacity,

@@ -117,7 +117,14 @@ def _get_strc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
             occ.shortest.reshape(B, K), occ.next_shortest.reshape(B, K),
             beta_s, beta_e, nq,
         )
-        return distr, logZ
+        # N(n) is exact only strictly below the truncation rank; the Z
+        # estimate reads N at the shortest/next-shortest lengths, so flag
+        # rows whose buffer truncated at or below next_shortest
+        trunc_bad = (
+            jnp.isfinite(occ.trunc_at)
+            & (occ.trunc_at <= occ.next_shortest.astype(jnp.float32))
+        ).reshape(B, K)
+        return distr, logZ, trunc_bad
 
     return jax.jit(run)
 
@@ -193,14 +200,12 @@ def STRC(
         seeds = jnp.asarray(init_states, jnp.uint8)
     beta_e = float(betas_depolarizing(p_error)[0])
     beta_s = float(betas_depolarizing(p_sampling)[0])
-    from .stdc import STREAM_AUTO_BYTES, _pick_stream_window
+    from .stdc import _pick_stream_window
+    from .streaming import should_stream
 
     B, K = seeds.shape[0], seeds.shape[1]
-    if stream == "auto":
-        use_stream = B * K * droplets * steps * 20 > STREAM_AUTO_BYTES
-    else:
-        use_stream = bool(stream)
-    if use_stream:
+    streaming = should_stream(stream, B * K, droplets, steps)
+    if streaming:
         fn = _get_strc_stream_fn(
             spec, droplets, steps, randomize, conv_mult, engine,
             stream_capacity,
@@ -208,11 +213,34 @@ def STRC(
         )
     else:
         fn = _get_strc_fn(spec, droplets, steps, randomize, conv_mult, engine)
-    distr, _ = fn(
+    out = fn(
         seeds,
         jax.random.PRNGKey(seed),
         jnp.asarray(betas_depolarizing(p_sampling), jnp.float32),
         jnp.float32(beta_s),
         jnp.float32(beta_e),
     )
-    return np.asarray(distr)
+    if streaming:
+        _warn_occupancy_truncation(np.asarray(out[2]), "STRC",
+                                   stream_capacity)
+    return np.asarray(out[0])
+
+
+def _warn_occupancy_truncation(trunc_bad: np.ndarray, name: str,
+                               capacity: int) -> None:
+    """Streaming occupancy keeps only the ``capacity`` shortest unique
+    chains per row; if that buffer truncated at or below the
+    next-shortest length, the Z estimate's N(l0)/N(l1) undercount.  The
+    results are then biased, not silently — warn with the row count."""
+    bad = int(trunc_bad.sum())
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"{name}: occupancy buffer (stream_capacity={capacity}) "
+            f"truncated at/below the next-shortest length in {bad} "
+            f"(row, class) cells — unique counts there undercount; "
+            f"raise stream_capacity or use stream=False",
+            RuntimeWarning,
+            stacklevel=3,
+        )

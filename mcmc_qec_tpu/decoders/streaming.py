@@ -25,7 +25,8 @@ re-evicted by the same argument.  Consequently:
 - with rank = Boltzmann weight  sum_i beta_err_i n_i  (STDC/PTDC), the
   final buffer holds the ``capacity`` largest-weight contributions to
   Z = sum_unique exp(-w); overflow drops only exponentially-suppressed
-  tails (``overflow`` flags it and ``dropped_bound`` bounds the loss);
+  tails (``overflow`` flags it; every dropped unique chain contributes
+  less than exp(-``max_kept``) to Z);
 - with rank = total length n (STRC/PTRC), unique-per-length counts N(n)
   are exact for every n strictly below the largest kept rank.
 
@@ -341,24 +342,26 @@ def occupancy_from_stream(st: StreamState, nq: int) -> StreamOccupancy:
 # ---------------------------------------------------------------------------
 
 
-def make_chunk_sampler(spec: CodeSpec, window: int, iters_per_step: int,
-                       engine: str, equal_betas: bool, betas_sampling):
-    """Single-temperature chunk sampler over states (R, D, nq) — the
-    windowed version of counting.make_sampler's recording loop
-    (decoders.py:249-254)."""
-    from .counting import make_sampler
-
-    sampler = make_sampler(spec, window, iters_per_step=iters_per_step,
-                           engine=engine, equal_betas=equal_betas)
-    betas = jnp.asarray(betas_sampling, jnp.float32)
-
-    def chunk(states, key):
-        states, stream = sampler(states, key, betas)
-        return states, stream.keys, stream.n_xyz  # (R, D, W, .)
-
-    return chunk
+# materialized-path cost model: 8 key bytes + 12 n_xyz bytes per sample
+STREAM_BYTES_PER_SAMPLE = 20
+# stream="auto" switches to the bounded-memory path above this many bytes
+STREAM_AUTO_BYTES = 1 << 30
 
 
-def estimate_stream_bytes(rows: int, droplets: int, steps: int) -> int:
-    """HBM bytes the materialized (non-streaming) path would need."""
-    return rows * droplets * steps * 20
+def should_stream(stream, rows: int, droplets: int, steps: int) -> bool:
+    """Resolve the ``stream`` knob shared by STDC/STRC/PTDC/PTRC:
+    "auto" switches on once the materialized sample stream would exceed
+    ~1 GiB; True/False force a path.  Any other value is rejected (a
+    string like "off" must not silently truthy-enable streaming)."""
+    if isinstance(stream, str):
+        if stream != "auto":
+            raise ValueError(
+                f"stream={stream!r}: expected 'auto', True or False"
+            )
+        return rows * droplets * steps * STREAM_BYTES_PER_SAMPLE \
+            > STREAM_AUTO_BYTES
+    if not isinstance(stream, (bool, np.bool_, int)):
+        raise ValueError(
+            f"stream={stream!r}: expected 'auto', True or False"
+        )
+    return bool(stream)

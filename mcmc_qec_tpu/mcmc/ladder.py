@@ -145,6 +145,14 @@ def make_ladder_step(
     """
     from ..ops.engines import resolve_engine
 
+    if exchange not in ("sequential", "even_odd"):
+        # "none" exists ONLY as a fused-kernel roofline ablation
+        # (ops/pallas_ladder.py) — accepting it here would silently run
+        # the sequential sampler and make cross-engine ablations
+        # incomparable
+        raise ValueError(
+            f"exchange={exchange!r}: expected 'sequential' or 'even_odd'"
+        )
     engine = resolve_engine(engine, "chain")
     update = make_chain_update(spec, iters, include_logical=(p_logical > 0))
     p_log_vec = jnp.zeros((Nc,)).at[-1].set(p_logical)
