@@ -171,6 +171,76 @@ def _model(theta, ds, ps):
     return model
 
 
+def plot(args):
+    """Two-panel threshold figure: failure-rate curves per d with the
+    fitted p_th, and the finite-size-scaling data collapse.
+
+    Encoding: d is an ordered magnitude, so it wears a single-hue ordinal
+    blue ramp (light -> dark = small -> large d; lightness-monotone, so
+    the order survives every color-vision deficiency); identity is
+    double-encoded by the legend and the distinct marker per d.  One axis
+    per panel; recessive grid; text in ink, not series color."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    results = json.load(open(args.data))
+    ds_all = sorted({r["d"] for r in results})
+    ramp = ["#86b6ef", "#5598e7", "#2a78d6", "#1c5cab", "#104281",
+            "#0d366b"]
+    markers = ["o", "s", "D", "^", "v", "P"]
+    color = {d: ramp[i % len(ramp)] for i, d in enumerate(ds_all)}
+    mark = {d: markers[i % len(markers)] for i, d in enumerate(ds_all)}
+
+    ds = np.array([r["d"] for r in results], float)
+    ps = np.array([r["p"] for r in results], float)
+    fs = np.array([r["failure_rate"] for r in results], float)
+    ns = np.array([r["n"] for r in results], float)
+    errs = np.sqrt(np.maximum(fs * (1 - fs), 1.0 / ns) / ns)
+    ws = 1.0 / errs
+    theta = _fit_once(ds, ps, fs, ws)
+    p_th, inv_nu = float(theta[0]), float(theta[1])
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.4), dpi=150)
+    ink, muted = "#1a1a1a", "#6b6b6b"
+    for ax in (ax1, ax2):
+        ax.grid(True, color="#e8e7e4", linewidth=0.8, zorder=0)
+        ax.spines[["top", "right"]].set_visible(False)
+        ax.tick_params(colors=muted)
+    for d in ds_all:
+        sel = ds == d
+        o = np.argsort(ps[sel])
+        ax1.errorbar(ps[sel][o], fs[sel][o], yerr=errs[sel][o],
+                     color=color[d], marker=mark[d], ms=4.5, lw=2,
+                     capsize=2, label=f"d={d}", zorder=3)
+        x = (ps[sel] - p_th) * d**inv_nu
+        ax2.errorbar(x[o], fs[sel][o], yerr=errs[sel][o], ls="none",
+                     color=color[d], marker=mark[d], ms=5, capsize=2,
+                     label=f"d={d}", zorder=3)
+    ax1.axvline(p_th, color=muted, lw=1, ls="--", zorder=1)
+    ax1.annotate(f"$p_{{th}}$ = {p_th:.4f}", (p_th, ax1.get_ylim()[0]),
+                 xytext=(4, 6), textcoords="offset points", color=ink,
+                 fontsize=9)
+    ax1.set_xlabel("physical error rate p", color=ink)
+    ax1.set_ylabel("logical failure rate", color=ink)
+    ax1.set_title("PTEQ failure rates near threshold", color=ink,
+                  fontsize=11)
+    ax1.legend(frameon=False, fontsize=8, loc="upper left")
+    xx = np.linspace(min((ps - p_th) * ds**inv_nu),
+                     max((ps - p_th) * ds**inv_nu), 100)
+    ax2.plot(xx, theta[2] + theta[3] * xx + theta[4] * xx**2,
+             color=muted, lw=1, ls="--", zorder=2)
+    ax2.set_xlabel(r"$x = (p - p_{th})\,d^{1/\nu}$", color=ink)
+    ax2.set_ylabel("logical failure rate", color=ink)
+    ax2.set_title(
+        rf"data collapse  ($\nu$ = {1.0 / inv_nu:.2f})", color=ink,
+        fontsize=11)
+    ax2.legend(frameon=False, fontsize=8, loc="upper left")
+    fig.tight_layout()
+    fig.savefig(args.out)
+    print(f"wrote {args.out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -189,9 +259,14 @@ def main():
     f.add_argument("--min-converged", type=float, default=0.0)
     f.add_argument("--correction", action="store_true",
                    help="add the leading D/d correction-to-scaling term")
+    pl = sub.add_parser("plot")
+    pl.add_argument("--data", required=True)
+    pl.add_argument("--out", default="threshold.png")
     args = ap.parse_args()
     if args.cmd == "collect":
         collect(args)
+    elif args.cmd == "plot":
+        plot(args)
     else:
         fit(args)
 
