@@ -46,6 +46,40 @@ def test_sharded_stdc_matches_unsharded():
     assert np.allclose(distr, d_ref, atol=1e-3), (distr, d_ref)
 
 
+def test_sharded_streaming_stdc_matches_unsharded():
+    """The bounded-memory streaming reduction (round 4) runs SPMD over the
+    mesh too: the whole scan — sampling, per-window sort-merge, bounded
+    buffers — partitions over the syndrome batch with no collectives in
+    the hot loop."""
+    spec = get_spec("planar", 3)
+    B = 8
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(2), spec, 0.1, (B,))
+    )
+    d_ref = STDC(spec, states, 0.1, p_sampling=0.25, droplets=2, steps=800,
+                 stream=True, seed=5)
+    from mcmc_qec_tpu.decoders.stdc import (
+        _class_seeds,
+        _get_stdc_stream_fn,
+        _pick_stream_window,
+    )
+    from mcmc_qec_tpu.mcmc.ladder import betas_depolarizing
+
+    mesh = make_mesh()
+    seeds = _class_seeds(spec, states)
+    fn = _get_stdc_stream_fn(
+        spec, 2, 800, True, "off", 0.0, "auto", False, False, 4096,
+        _pick_stream_window(2, 800),
+    )
+    distr, _ = fn(
+        shard_batch(seeds, mesh),
+        jax.random.PRNGKey(5),
+        jnp.asarray(betas_depolarizing(0.25), jnp.float32),
+        jnp.asarray(betas_depolarizing(0.1), jnp.float32),
+    )
+    assert np.allclose(np.asarray(distr), d_ref, atol=1e-3), (distr, d_ref)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
