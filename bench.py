@@ -11,9 +11,23 @@ path, single CPU core).
 Timing methodology: a host-side scalar reduction is forced before stopping
 the timer — on some remote backends ``block_until_ready`` on custom-call
 outputs returns before execution finishes.
+
+Measurement hygiene (round 5, VERDICT r4 task 1):
+- every recorded key is best-of-3 (or better) wall time;
+- a host-load guard (1-min loadavg + a calibrated spin loop) retries for
+  an idle host and emits ``host_contended`` + the raw readings in the
+  JSON — the r4 driver capture ran on busy CPUs and understated the
+  host-loop-heavy keys by up to 43%;
+- the remote-tunnel round-trip (~28 ms/fetch on this axon setup —
+  measured, see ``tunnel_rtt_ms``) is amortized out of per-window
+  latencies by chaining windows device-side and forcing ONCE.  The r4
+  ``fused_window_ms_d5`` keys included one full RTT each; the r5 keys
+  are the true device cost (the single-shot value is kept as
+  ``*_singleshot`` for cross-round comparability).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -23,10 +37,57 @@ import numpy as np
 
 BASELINE_PROPOSALS_PER_S = 178_000.0  # BASELINE.md measured reference floor
 
+# best-of-5 time of sum(range(2_000_000)) on this host, measured idle
+SPIN_IDLE_MS = 40.0
+
 
 def _force(x) -> int:
     """Force full execution with a 1-scalar host fetch."""
     return int(jnp.sum(x.astype(jnp.int32)))
+
+
+def _spin_ms(trials: int = 5) -> float:
+    best = 1e9
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        sum(range(2_000_000))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000
+
+
+def host_guard(max_wait_s: float = 120.0):
+    """Wait (bounded) for an idle host; return load diagnostics.
+
+    The 2-core bench host shares CPUs with whatever else runs in the
+    container; contention inflates host-loop-heavy keys by up to ~40%
+    (observed r4).  Contended = 1-min loadavg > 1.0 or the calibrated
+    spin loop > 2x its idle time."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        spin = _spin_ms()
+        contended = load1 > 1.0 or spin > 2.0 * SPIN_IDLE_MS
+        if not contended or time.time() - t0 > max_wait_s:
+            return {
+                "host_contended": contended,
+                "loadavg_1min": round(load1, 2),
+                "spin_ms": round(spin, 1),
+            }
+        time.sleep(15)
+
+
+def measure_tunnel_rtt(reps: int = 10) -> float:
+    """Best-of-N dispatch+fetch of a trivial jitted scalar reduction: the
+    fixed per-fetch cost every wall-clock sample in this file contains."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.zeros((8, 128), jnp.int32)
+    int(f(x))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000
 
 
 def bench_dense(family="toric", d=5, batch=32768, sweeps_per_call=200, calls=3):
@@ -127,7 +188,7 @@ def bench_stdc_stream(d=9, B=512, steps=20000, droplets=10):
     )
     STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps, seed=1)
     best = 0.0
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.perf_counter()
         STDC(spec, states, 0.1, 0.25, droplets=droplets, steps=steps,
              seed=rep + 2)
@@ -135,11 +196,71 @@ def bench_stdc_stream(d=9, B=512, steps=20000, droplets=10):
     return best
 
 
-def bench_fused_window(d=5, B=2048, W=600, iters=2, exchange="sequential"):
-    """Raw fused PT-ladder window: ms per window, ladder-steps/s and the
+def bench_strc_stream(d=9, B=256, steps=20000, droplets=10):
+    """STRC at the reference's own default budget (droplets=10 x
+    steps=20000, decoders.py:835) through the bounded-memory streaming
+    occupancy path (VERDICT r4 task 5)."""
+    import warnings
+
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+    from mcmc_qec_tpu.decoders import STRC
+
+    spec = get_spec("toric", d)
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(0), spec, 0.1, (B,))
+    )
+    truncated = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        STRC(spec, states, 0.1, 0.3, droplets=droplets, steps=steps, seed=1)
+        truncated = any("truncated" in str(x.message) for x in w)
+    best = 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        STRC(spec, states, 0.1, 0.3, droplets=droplets, steps=steps,
+             seed=rep + 2)
+        best = max(best, B / (time.perf_counter() - t0))
+    return best, truncated
+
+
+def bench_ptrc_stream(d=9, B=256, steps=20000, droplets=4):
+    """PTRC at the reference defaults (droplets=4, steps=20000, Nc=d,
+    decoders.py:638) through the per-rung streaming occupancy path."""
+    import warnings
+
+    from mcmc_qec_tpu.models import get_spec
+    from mcmc_qec_tpu.models.noise import sample_depolarizing
+    from mcmc_qec_tpu.decoders import PTRC
+
+    spec = get_spec("toric", d)
+    states = np.asarray(
+        sample_depolarizing(jax.random.PRNGKey(0), spec, 0.1, (B,))
+    )
+    truncated = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        PTRC(spec, states, 0.1, droplets=droplets, steps=steps, stream=True,
+             seed=1)
+        truncated = any("truncated" in str(x.message) for x in w)
+    best = 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        PTRC(spec, states, 0.1, droplets=droplets, steps=steps, stream=True,
+             seed=rep + 2)
+        best = max(best, B / (time.perf_counter() - t0))
+    return best, truncated
+
+
+def bench_fused_window(d=5, B=2048, W=600, iters=2, exchange="sequential",
+                       chain=5):
+    """Raw fused PT-ladder window: DEVICE ms per window (amortized over
+    ``chain`` windows dispatched back-to-back with ONE final host fetch —
+    a single-shot sample includes the ~28 ms remote-tunnel RTT and was
+    what r3/r4 recorded), the single-shot latency, ladder-steps/s and the
     MXU-accounting MFU (see utils/roofline.pallas_ladder_mxu_flops — the
-    kernel is VPU/issue-bound, not MXU-bound, so MFU is an accounting
-    figure; the roofline argument lives in RESULTS.md)."""
+    kernel is VPU-bound, not MXU-bound, so MFU is an accounting figure;
+    the roofline argument lives in RESULTS.md)."""
     from mcmc_qec_tpu.models import get_spec
     from mcmc_qec_tpu.models.noise import sample_depolarizing
     from mcmc_qec_tpu.mcmc.ladder import init_ladder, beta_ladder_depolarizing
@@ -152,21 +273,31 @@ def bench_fused_window(d=5, B=2048, W=600, iters=2, exchange="sequential"):
     betas = jnp.asarray(beta_ladder_depolarizing(0.15, Nc), jnp.float32)
     ls = init_ladder(spec, states, Nc)
     K = spec.n_classes
+    w = jnp.ones((3,), jnp.float32)
     fn = jax.jit(make_pallas_ladder_window(
         spec, Nc, W, iters, 0.5, 2, batch_tile=128, energy_chunk=12,
         top_exact=True, equal_betas=True, exchange=exchange))
     args = (ls.state, ls.flag, ls.tops0, jnp.zeros((B, K), jnp.int32),
-            jnp.zeros((B,), jnp.int32), 7, betas,
-            jnp.ones((3,), jnp.float32))
+            jnp.zeros((B,), jnp.int32), 7, betas, w)
     _force(fn(*args)[2])
-    best = 1e9
+    single = 1e9
     for i in range(4):
         t0 = time.perf_counter()
         _force(fn(*args)[2])
-        best = min(best, time.perf_counter() - t0)
+        single = min(single, time.perf_counter() - t0)
+    rtt = measure_tunnel_rtt()
+    best = 1e9
+    for i in range(3):
+        st, fl, tp, eq, sb = args[:5]
+        t0 = time.perf_counter()
+        for k in range(chain):
+            st, fl, tp, eq, sb = fn(st, fl, tp, eq, sb, 7 + k, betas, w)[:5]
+        _force(tp)
+        # amortized device window: the one terminal fetch pays the RTT
+        best = min(best, (time.perf_counter() - t0 - rtt / 1000) / chain)
     _, mfu = fused_ladder_mfu(spec, Nc, W, iters, B, best,
                               batch_tile=128, equal_betas=True)
-    return best * 1000, B * W / best, mfu
+    return best * 1000, B * W / best, mfu, single * 1000
 
 
 def bench_pteq(B=2048, max_steps=8000, d=5, p=0.15):
@@ -208,10 +339,16 @@ def bench_pteq(B=2048, max_steps=8000, d=5, p=0.15):
 def main():
     # keep total runtime bounded: remote compiles can take minutes each, so
     # optional extras are skipped once the time budget is spent
+    guard = host_guard()
     t_start = time.perf_counter()
     budget = 900.0
+    extra = dict(guard)
+    try:
+        extra["tunnel_rtt_ms"] = round(measure_tunnel_rtt(), 1)
+    except Exception as e:  # pragma: no cover
+        extra["tunnel_rtt_error"] = str(e)[:200]
     dense = bench_dense()
-    extra = {"dense_xla_d5": round(dense, 1)}
+    extra["dense_xla_d5"] = round(dense, 1)
     value = dense
     try:
         if time.perf_counter() - t_start < budget * 0.5:
@@ -248,8 +385,9 @@ def main():
         extra["pteq_d9_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.88:
-            ms, steps_s, mfu = bench_fused_window()
+            ms, steps_s, mfu, single = bench_fused_window()
             extra["fused_window_ms_d5"] = round(ms, 1)
+            extra["fused_window_singleshot_ms_d5"] = round(single, 1)
             extra["fused_ladder_steps_per_sec_d5"] = round(steps_s, 1)
             extra["fused_ladder_mfu_d5"] = round(mfu, 4)
     except Exception as e:  # pragma: no cover
@@ -260,8 +398,9 @@ def main():
         # tile through d=19 — see RESULTS.md VMEM table).  d=13 is the
         # recorded extra; larger d compile slowly on cold caches.
         if time.perf_counter() - t_start < budget * 0.89:
-            ms13, steps13, mfu13 = bench_fused_window(d=13, B=512)
+            ms13, steps13, mfu13, single13 = bench_fused_window(d=13, B=512)
             extra["fused_window_ms_d13"] = round(ms13, 1)
+            extra["fused_window_singleshot_ms_d13"] = round(single13, 1)
             extra["fused_ladder_steps_per_sec_d13"] = round(steps13, 1)
             extra["fused_ladder_mfu_d13"] = round(mfu13, 4)
     except Exception as e:  # pragma: no cover
@@ -275,9 +414,29 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["stdc_stream_error"] = str(e)[:200]
     try:
+        # STRC / PTRC at the reference defaults through the streaming
+        # occupancy path (VERDICT r4 task 5); the *_truncated flags report
+        # whether the bounded N(n) buffers clipped at the lengths the Z
+        # estimate reads (they warn in-API too)
+        if time.perf_counter() - t_start < budget * 0.91:
+            strc_rate, strc_trunc = bench_strc_stream()
+            extra["strc_stream_ref_budget_syn_per_sec_d9"] = round(
+                strc_rate, 1)
+            extra["strc_stream_truncated"] = strc_trunc
+    except Exception as e:  # pragma: no cover
+        extra["strc_stream_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start < budget * 0.92:
+            ptrc_rate, ptrc_trunc = bench_ptrc_stream()
+            extra["ptrc_stream_ref_budget_syn_per_sec_d9"] = round(
+                ptrc_rate, 1)
+            extra["ptrc_stream_truncated"] = ptrc_trunc
+    except Exception as e:  # pragma: no cover
+        extra["ptrc_stream_error"] = str(e)[:200]
+    try:
         # production-size PTEQ with the d-scaled step cap (VERDICT r4
         # task 2: >= 90% convergence at d=13; cap calibrated in RESULTS.md)
-        if time.perf_counter() - t_start < budget * 0.92:
+        if time.perf_counter() - t_start < budget * 0.93:
             # cap 96k (= 3 * 32000): measured 100% felkriteriet
             # convergence at d=13 (RESULTS.md round-4 production table)
             extra["pteq_syndromes_per_sec_d13"] = round(
@@ -311,11 +470,19 @@ def main():
                 extra[f"mxu_tflops_d{dd}"] = round(tf, 2)
     except Exception as e:  # pragma: no cover
         extra["mfu_error"] = str(e)[:200]
+    # re-check contention at the end: a run that STARTED idle may have
+    # been raced mid-way; flag it so the record is never silently wrong
+    end_guard = host_guard(max_wait_s=0.0)
+    extra["host_contended_end"] = end_guard["host_contended"]
+    extra["loadavg_1min_end"] = end_guard["loadavg_1min"]
     result = {
         "metric": "metropolis_proposals_per_sec_toric_d5",
         "value": round(value, 1),
         "unit": "proposals/s",
         "vs_baseline": round(value / BASELINE_PROPOSALS_PER_S, 2),
+        "host_contended": bool(
+            extra.get("host_contended") or end_guard["host_contended"]
+        ),
         "extra": extra,
     }
     print(json.dumps(result))

@@ -12,6 +12,12 @@ estimators, calibrated against the reference's own run-to-run TV (two
 independent reference runs on the same syndromes).
 
 Run:  python examples/head_to_head.py -n 12 --out /tmp/h2h.json
+
+Phases (round 5, n=64 runs): ``--phase ref`` runs only the interpreted
+reference side (hours of pure CPU; pair with JAX_PLATFORMS=cpu so the TPU
+stays free) and dumps its distributions to --ref-cache; ``--phase ours``
+loads that cache, runs our decoders on the TPU, and writes the final
+comparison.  ``--phase all`` (default) does both in one process.
 """
 
 import argparse
@@ -73,8 +79,19 @@ def main():
     ap.add_argument("--stdc-steps", type=int, default=10000)
     ap.add_argument("--stdc-droplets", type=int, default=2)
     ap.add_argument("--skip-literal", action="store_true")
+    ap.add_argument("--strc-steps", type=int, default=10000,
+                    help="also compare STRC (0 disables)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--phase", choices=["all", "ref", "ours"], default="all")
+    ap.add_argument("--ref-cache", default="/tmp/h2h_ref_cache.npz")
     args = ap.parse_args()
+
+    if args.phase == "ref":
+        # interpreted-reference phase is pure CPU — leave the TPU free for
+        # concurrent science runs (state sampling/warm starts don't need it)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from mcmc_qec_tpu.models import get_spec, np_eq_class
     from mcmc_qec_tpu.models.noise import sample_depolarizing
@@ -105,7 +122,9 @@ def main():
     n = len(states)
     truth = np_eq_class(spec, states)
 
-    ref_decoders, Toric_code = load_reference()
+    ref_decoders = Toric_code = None
+    if args.phase != "ours":
+        ref_decoders, Toric_code = load_reference()
 
     def run_ref_pteq(tag):
         out = np.zeros((n, spec.n_classes))
@@ -138,7 +157,8 @@ def main():
         for s in states
     ])  # (n, K, nq)
 
-    def run_ref_stdc():
+    def run_ref_counting(fn_name, steps, droplets):
+        fn = getattr(ref_decoders, fn_name)
         out = np.zeros((n, spec.n_classes))
         t0 = time.perf_counter()
         for i in range(n):
@@ -147,22 +167,46 @@ def main():
                 for eq in range(spec.n_classes)
             ]
             out[i] = np.asarray(
-                ref_decoders.STDC(
-                    init_list, args.p, p_sampling=0.25,
-                    droplets=args.stdc_droplets, steps=args.stdc_steps,
-                ),
+                fn(init_list, args.p, p_sampling=0.25,
+                   droplets=droplets, steps=steps),
                 float,
             )
-            print(f"  ref STDC {i + 1}/{n} "
+            print(f"  ref {fn_name} {i + 1}/{n} "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
         return out
 
-    print(f"reference PTEQ run A ({n} syndromes)...", flush=True)
-    ref_pteq_a = run_ref_pteq("A")
-    print("reference PTEQ run B (self-TV calibration)...", flush=True)
-    ref_pteq_b = run_ref_pteq("B")
-    print("reference STDC...", flush=True)
-    ref_stdc = run_ref_stdc()
+    if args.phase == "ours":
+        cache = np.load(args.ref_cache)
+        assert np.array_equal(cache["states"], states), \
+            "ref cache was collected on different syndromes"
+        assert np.array_equal(cache["warm"], warm), \
+            "ref cache was collected with different warm starts"
+        ref_pteq_a = cache["ref_pteq_a"]
+        ref_pteq_b = cache["ref_pteq_b"]
+        ref_stdc = cache["ref_stdc"]
+        ref_strc = cache["ref_strc"] if "ref_strc" in cache else None
+    else:
+        print(f"reference PTEQ run A ({n} syndromes)...", flush=True)
+        ref_pteq_a = run_ref_pteq("A")
+        print("reference PTEQ run B (self-TV calibration)...", flush=True)
+        ref_pteq_b = run_ref_pteq("B")
+        print("reference STDC...", flush=True)
+        ref_stdc = run_ref_counting("STDC", args.stdc_steps,
+                                    args.stdc_droplets)
+        ref_strc = None
+        if args.strc_steps:
+            print("reference STRC...", flush=True)
+            ref_strc = run_ref_counting("STRC", args.strc_steps,
+                                        args.stdc_droplets)
+        np.savez_compressed(
+            args.ref_cache, states=states, warm=warm,
+            ref_pteq_a=ref_pteq_a, ref_pteq_b=ref_pteq_b,
+            ref_stdc=ref_stdc,
+            **({"ref_strc": ref_strc} if ref_strc is not None else {}),
+        )
+        if args.phase == "ref":
+            print(f"ref phase done -> {args.ref_cache}", flush=True)
+            return
 
     print("this framework: PTEQ (production fused engine)...", flush=True)
     cfg = PTEQConfig(engine="auto", max_steps=48000, window=600, iters=2,
@@ -175,6 +219,15 @@ def main():
                      droplets=args.stdc_droplets, steps=args.stdc_steps,
                      seed=1).astype(float)
 
+    ours_strc = None
+    if ref_strc is not None:
+        from mcmc_qec_tpu.decoders import STRC
+
+        print("this framework: STRC (same warm starts)...", flush=True)
+        ours_strc = STRC(spec, warm, args.p, 0.25,
+                         droplets=args.stdc_droplets,
+                         steps=args.strc_steps, seed=1).astype(float)
+
     ours_lit = None
     if not args.skip_literal:
         print("this framework: STDC (literal parity engine)...", flush=True)
@@ -183,12 +236,20 @@ def main():
                         steps=min(args.stdc_steps, 4000),
                         engine="literal", seed=1).astype(float)
 
+    def wilson_ci(k, m, z=1.96):
+        ph = k / m
+        den = 1 + z * z / m
+        ctr = (ph + z * z / (2 * m)) / den
+        hw = z * np.sqrt(ph * (1 - ph) / m + z * z / (4 * m * m)) / den
+        return round(float(ctr - hw), 3), round(float(ctr + hw), 3)
+
     def compare(name, a, b):
         tvs = [tv(a[i] / 100.0, b[i] / 100.0) for i in range(n)]
         agree = int((np.argmax(a, -1) == np.argmax(b, -1)).sum())
         rec = {
             "pair": name,
             "argmax_agree": f"{agree}/{n}",
+            "agree_ci95": wilson_ci(agree, n),
             "tv_mean": round(float(np.mean(tvs)), 4),
             "tv_max": round(float(np.max(tvs)), 4),
         }
@@ -206,13 +267,22 @@ def main():
             compare("ours_PTEQ vs ours_STDC (cross-alg)", ours_pteq, ours_stdc),
         ],
     }
+    if ours_strc is not None:
+        results["comparisons"].append(
+            compare("ref_STRC vs ours_STRC", ref_strc, ours_strc)
+        )
+        results["comparisons"].append(
+            compare("ref_STRC vs ref_STDC (cross-alg)", ref_strc, ref_stdc)
+        )
     if ours_lit is not None:
         results["comparisons"].append(
             compare("ref_STDC vs ours_STDC_literal", ref_stdc, ours_lit)
         )
     # ground-truth recovery per estimator (hard syndromes: not all recoverable)
     for nm, d_ in [("ref_PTEQ", ref_pteq_a), ("ours_PTEQ", ours_pteq),
-                   ("ref_STDC", ref_stdc), ("ours_STDC", ours_stdc)]:
+                   ("ref_STDC", ref_stdc), ("ours_STDC", ours_stdc)] + (
+                   [("ref_STRC", ref_strc), ("ours_STRC", ours_strc)]
+                   if ours_strc is not None else []):
         results[f"correct_{nm}"] = int(
             (np.argmax(d_, -1) == truth).sum()
         )

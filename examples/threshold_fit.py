@@ -89,7 +89,7 @@ def collect(args):
                 json.dump(results, f, indent=1)
 
 
-def _fit_once(ds, ps, fs, ws, correction=False):
+def _fit_once(ds, ps, fs, ws, correction=False, p0=0.189):
     """Weighted LS fit of (p_th, nu, A, B, C[, D]); with ``correction`` the
     model adds the leading non-universal finite-size term D d^-1 (cf. the
     correction-to-scaling treatment in Wang-Harrington-Preskill 2003)."""
@@ -103,7 +103,7 @@ def _fit_once(ds, ps, fs, ws, correction=False):
             model = model + theta[5] / ds
         return (model - fs) * ws
 
-    th0 = [0.189, 1.0 / 1.5, np.mean(fs), 1.0, 0.0]
+    th0 = [p0, 1.0 / 1.5, np.mean(fs), 1.0, 0.0]
     if correction:
         th0.append(0.0)
     sol = least_squares(resid, np.array(th0), method="lm", max_nfev=20000)
@@ -123,7 +123,8 @@ def fit(args):
     # would give zero-failure points ~10^4x the weight of typical ones)
     errs = np.sqrt(np.maximum(fs * (1 - fs), 1.0 / ns) / ns)
     ws = 1.0 / errs
-    theta = _fit_once(ds, ps, fs, ws, correction=args.correction)
+    p0 = getattr(args, "p0", 0.189)
+    theta = _fit_once(ds, ps, fs, ws, correction=args.correction, p0=p0)
     p_th, inv_nu = theta[0], theta[1]
     # parametric bootstrap: resample each point from Binomial(n, f_fit-ish)
     rng = np.random.RandomState(0)
@@ -131,8 +132,8 @@ def fit(args):
     for _ in range(args.boot):
         fb = rng.binomial(ns.astype(int), np.clip(fs, 1e-6, 1 - 1e-6)) / ns
         try:
-            tb = _fit_once(ds, ps, fb, ws, correction=args.correction)
-            if 0.1 < tb[0] < 0.3:
+            tb = _fit_once(ds, ps, fb, ws, correction=args.correction, p0=p0)
+            if abs(tb[0] - theta[0]) < 0.1:
                 boots.append(tb[:2])
         except Exception:
             pass
@@ -198,7 +199,7 @@ def plot(args):
     ns = np.array([r["n"] for r in results], float)
     errs = np.sqrt(np.maximum(fs * (1 - fs), 1.0 / ns) / ns)
     ws = 1.0 / errs
-    theta = _fit_once(ds, ps, fs, ws)
+    theta = _fit_once(ds, ps, fs, ws, p0=float(np.median(ps)))
     p_th, inv_nu = float(theta[0]), float(theta[1])
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.4), dpi=150)
@@ -257,6 +258,8 @@ def main():
     f.add_argument("--data", required=True)
     f.add_argument("--boot", type=int, default=400)
     f.add_argument("--min-converged", type=float, default=0.0)
+    f.add_argument("--p0", type=float, default=0.189,
+                   help="initial p_th guess (e.g. ~0.3 for biased XZZX)")
     f.add_argument("--correction", action="store_true",
                    help="add the leading D/d correction-to-scaling term")
     pl = sub.add_parser("plot")

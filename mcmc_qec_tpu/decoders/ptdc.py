@@ -20,37 +20,39 @@ from ..mcmc.ladder import (
     beta_ladder_depolarizing,
     betas_depolarizing,
     init_ladder,
-    make_ladder_step,
 )
-from ..ops.pauli import all_class_states, count_errors_xyz, make_hash_mults, pack_key
+from ..ops.pauli import all_class_states
 from .counting import SampleStream, occupancy_stats, z_direct_count
 
 
 @functools.lru_cache(maxsize=None)
 def _get_pt_sampler(spec: CodeSpec, Nc: int, steps: int, iters: int,
                     engine: str = "literal"):
-    """Sampler over (B*K) ladders recording every rung each step."""
+    """Sampler over (B*K) ladders recording every rung each step.
+
+    Uses the permutation-carrying ladder step (mcmc/ladder.py
+    make_perm_ladder_step): rung swaps move indices, not (N, Nc, nq)
+    state rows, and the per-step records come out in rung order via small
+    gathers — the r4 step's full-state take_along_axis per step was the
+    dominant non-sweep cost of PTDC/PTRC (VERDICT r4 #3/#7)."""
     from ..ops.engines import resolve_engine
+    from ..mcmc.ladder import make_perm_ladder_step, perm_enter
 
     engine = resolve_engine(engine, "chain")
-    ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0,
-                                   engine=engine)
-    mults = jnp.asarray(make_hash_mults(spec))
+    ladder_step = make_perm_ladder_step(spec, Nc, iters, engine=engine)
 
     def run(ls_state, ls_flag, ls_tops, key, betas_ladder):
         from ..mcmc.ladder import LadderState
 
-        ls = LadderState(ls_state, ls_flag, ls_tops)
+        pls = perm_enter(LadderState(ls_state, ls_flag, ls_tops))
 
         def body(carry, k):
-            ls = carry
-            ls, _, _, _ = ladder_step(ls, k, betas_ladder)
-            keys_ = pack_key(spec, ls.state, mults)  # (N, Nc, 2)
-            nxyz = count_errors_xyz(ls.state)  # (N, Nc, 3)
-            return ls, (keys_, nxyz)
+            pls = carry
+            pls, keys_, nxyz, _ = ladder_step(pls, k, betas_ladder)
+            return pls, (keys_, nxyz)
 
         ks = jax.random.split(key, steps)
-        ls, (keys_, nxyz) = jax.lax.scan(body, ls, ks)
+        _, (keys_, nxyz) = jax.lax.scan(body, pls, ks)
         # (steps, N, Nc, .) -> (N, Nc, steps, .)
         keys_ = jnp.moveaxis(keys_, 0, 2)
         nxyz = jnp.moveaxis(nxyz, 0, 2)
@@ -124,29 +126,27 @@ def _get_pt_stream_scan_fn(spec: CodeSpec, Nc: int, steps: int, window: int,
     per_rung=True (PTRC): one buffer per (B, K, Nc) ranked by total
     length, plus exact per-length occupancy counts."""
     from ..ops.engines import resolve_engine
+    from ..mcmc.ladder import make_perm_ladder_step, perm_enter
     from .streaming import streaming_scan
 
     eng = resolve_engine(engine, "chain")
-    ladder_step = make_ladder_step(spec, Nc, iters, p_logical=0.0, engine=eng)
-    mults = jnp.asarray(make_hash_mults(spec))
+    ladder_step = make_perm_ladder_step(spec, Nc, iters, engine=eng)
     nq = spec.nq
 
     def run(ls_state, ls_flag, ls_tops, key, betas_ladder, betas_error):
         from ..mcmc.ladder import LadderState
 
-        ls = LadderState(ls_state, ls_flag, ls_tops)
+        pls0 = perm_enter(LadderState(ls_state, ls_flag, ls_tops))
         N = ls_state.shape[0]  # B * K * droplets
 
-        def chunk(ls, k):
+        def chunk(pls, k):
             def body(carry, kk):
-                ls = carry
-                ls, _, _, _ = ladder_step(ls, kk, betas_ladder)
-                keys_ = pack_key(spec, ls.state, mults)  # (N, Nc, 2)
-                nxyz = count_errors_xyz(ls.state)  # (N, Nc, 3)
-                return ls, (keys_, nxyz)
+                pls = carry
+                pls, keys_, nxyz, _ = ladder_step(pls, kk, betas_ladder)
+                return pls, (keys_, nxyz)
 
             ks = jax.random.split(k, window)
-            ls, (keys_, nxyz) = jax.lax.scan(body, ls, ks)
+            pls, (keys_, nxyz) = jax.lax.scan(body, pls, ks)
             # (W, N, Nc, .) with N = B*K*droplets
             keys_ = keys_.reshape(window, B, K, droplets, Nc, 2)
             nxyz = nxyz.reshape(window, B, K, droplets, Nc, 3)
@@ -166,7 +166,7 @@ def _get_pt_stream_scan_fn(spec: CodeSpec, Nc: int, steps: int, window: int,
                 nxyz = jnp.transpose(nxyz, (1, 2, 3, 4, 0, 5)).reshape(
                     B * K, droplets * Nc, window, 3
                 )
-            return ls, keys_, nxyz
+            return pls, keys_, nxyz
 
         if per_rung:
             R, D = B * K * Nc, droplets
@@ -176,8 +176,8 @@ def _get_pt_stream_scan_fn(spec: CodeSpec, Nc: int, steps: int, window: int,
             from .counting import _weighted_length
 
             rank_fn = lambda nx: _weighted_length(nx, betas_error)
-        _, st = streaming_scan(
-            chunk, ls, key,
+        _, st, _ = streaming_scan(
+            chunk, pls0, key,
             steps=steps, window=window, capacity=capacity,
             rank_fn=rank_fn, nq=nq, R=R, D=D,
             track_occupancy=per_rung,
@@ -245,6 +245,15 @@ def PTDC(
         ladder = beta_ladder_depolarizing(p_sampling, Nc)
         st = fn(ls.state, ls.flag, ls.tops0, jax.random.PRNGKey(seed),
                 jnp.asarray(ladder, jnp.float32), be)
+        from .streaming import warn_stream_overflow
+
+        r_host = np.asarray(st.r)
+        min_rank = np.min(np.where(np.isfinite(r_host), r_host, np.inf),
+                          axis=-1)
+        warn_stream_overflow(np.asarray(st.overflow),
+                             np.asarray(st.max_kept), min_rank,
+                             droplets * Nc * steps_eff, "PTDC",
+                             stream_capacity)
         logz = logz_from_stream(st).reshape(B, K)
     else:
         stream_s, _ = _pt_stream(

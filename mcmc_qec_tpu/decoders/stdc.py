@@ -161,28 +161,42 @@ def _get_stdc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
             states, stream = sampler(states, k, betas_sampling)
             return states, stream.keys, stream.n_xyz
 
-        _, st = streaming_scan(
+        _, st, cm = streaming_scan(
             chunk, states, k_samp,
             steps=steps, window=window, capacity=capacity,
             rank_fn=lambda nxyz: _weighted_length(nxyz, betas_error),
             nq=nq, R=R, D=droplets, conv_mult=conv_mult,
             track_occupancy=False,
         )
+        kovf = (
+            jnp.any(cm.kovf, axis=-1) if cm is not None
+            else jnp.zeros((R,), bool)
+        ).reshape(B, K)
         stats = ()
         if with_stats:
+            # overflow accompanies the saturation counts: after eviction,
+            # re-discovered chains re-count, so (u_tot, u_half) overstate
+            # saturation on overflowed rows (ADVICE r4)
             stats = ((st.n_unique.reshape(B, K),
-                      st.n_unique_half.reshape(B, K)),)
+                      st.n_unique_half.reshape(B, K),
+                      st.overflow.reshape(B, K)),)
+        min_rank = jnp.min(
+            jnp.where(jnp.isfinite(st.r), st.r, jnp.inf), axis=-1
+        ).reshape(B, K)
+        extras = (st.overflow.reshape(B, K), st.max_kept.reshape(B, K),
+                  min_rank, kovf)
         if shortest_mode == "both":
             logz, logz_s = logz_from_stream(st, with_shortest=True)
             logz = logz.reshape(B, K)
             logz_s = logz_s.reshape(B, K)
             return ((jax.nn.softmax(logz, axis=-1) * 100.0,
-                     jax.nn.softmax(logz_s, axis=-1) * 100.0), logz) + stats
+                     jax.nn.softmax(logz_s, axis=-1) * 100.0),
+                    logz) + stats + extras
         logz = logz_from_stream(
             st, shortest_only=(shortest_mode == "only")
         ).reshape(B, K)
         distr = jax.nn.softmax(logz, axis=-1) * 100.0
-        return (distr, logz) + stats
+        return (distr, logz) + stats + extras
 
     return jax.jit(run)
 
@@ -219,7 +233,8 @@ def stdc_run(
     from .streaming import should_stream
 
     B, K = class_states.shape[0], class_states.shape[1]
-    if should_stream(stream, B * K, droplets, steps):
+    streaming = should_stream(stream, B * K, droplets, steps)
+    if streaming:
         fn = _get_stdc_stream_fn(
             spec, droplets, steps, randomize, mode, conv_mult, engine,
             metrics is not None, eq_b, stream_capacity,
@@ -237,8 +252,18 @@ def stdc_run(
         jnp.asarray(betas_error, jnp.float32),
     )
     distr, logz = out[0], out[1]
+    overflow = None
+    if streaming:
+        from .streaming import warn_conv_mult_overflow, warn_stream_overflow
+
+        overflow, max_kept, min_rank, kovf = out[-4:]
+        warn_stream_overflow(np.asarray(overflow), np.asarray(max_kept),
+                             np.asarray(min_rank), droplets * steps,
+                             "STDC", stream_capacity)
+        if conv_mult:
+            warn_conv_mult_overflow(np.asarray(kovf), "STDC", 64)
     if metrics is not None:
-        u_tot, u_half = [np.asarray(a) for a in out[2]]
+        u_tot, u_half = [np.asarray(a) for a in out[2][:2]]
         late = (u_tot - u_half) / np.maximum(u_tot, 1)  # second-half share
         metrics.log(
             "stdc_run",
@@ -249,6 +274,10 @@ def stdc_run(
             unique_max=int(u_tot.max()),
             late_discovery_mean=float(late.mean()),
             late_discovery_max=float(late.max()),
+            # saturation stats overstate on overflowed rows (re-discovered
+            # evicted chains re-count) — consumers discount via this flag
+            overflow_rows=int(np.asarray(overflow).sum())
+            if overflow is not None else 0,
         )
     if mode == "both":
         return (np.asarray(distr[0]), np.asarray(distr[1])), np.asarray(logz)

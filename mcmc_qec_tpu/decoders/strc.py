@@ -104,13 +104,17 @@ def _get_strc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
             states, stream = sampler(states, k, betas_sampling)
             return states, stream.keys, stream.n_xyz
 
-        _, st = streaming_scan(
+        _, st, cm = streaming_scan(
             chunk, states, k_samp,
             steps=steps, window=window, capacity=capacity,
             rank_fn=lambda nx: jnp.sum(nx, axis=-1).astype(jnp.float32),
             nq=nq, R=R, D=droplets, conv_mult=conv_mult,
             track_occupancy=True,
         )
+        kovf = (
+            jnp.any(cm.kovf, axis=-1) if cm is not None
+            else jnp.zeros((R,), bool)
+        ).reshape(B, K)
         occ = occupancy_from_stream(st, nq)
         distr, logZ = _strc_reduce(
             occ.m_n.reshape(B, K, nq + 1), occ.N_n.reshape(B, K, nq + 1),
@@ -124,7 +128,7 @@ def _get_strc_stream_fn(spec: CodeSpec, droplets: int, steps: int,
             jnp.isfinite(occ.trunc_at)
             & (occ.trunc_at <= occ.next_shortest.astype(jnp.float32))
         ).reshape(B, K)
-        return distr, logZ, trunc_bad
+        return distr, logZ, trunc_bad, kovf
 
     return jax.jit(run)
 
@@ -223,6 +227,10 @@ def STRC(
     if streaming:
         _warn_occupancy_truncation(np.asarray(out[2]), "STRC",
                                    stream_capacity)
+        if conv_mult:
+            from .streaming import warn_conv_mult_overflow
+
+            warn_conv_mult_overflow(np.asarray(out[3]), "STRC", 64)
     return np.asarray(out[0])
 
 

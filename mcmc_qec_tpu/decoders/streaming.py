@@ -216,8 +216,13 @@ def streaming_scan(
     per droplet per window (droplets = independent chains feeding the same
     row buffer: droplet fan-in for STDC/STRC, ladder rungs for PTDC).
 
-    Returns (states, StreamState).  Samples with global index >= steps (the
-    final window's tail) are masked out, so any window size is valid.
+    Returns (states, StreamState, ConvMultState-or-None).  The
+    ConvMultState is returned (None when ``conv_mult`` is 0) so callers can
+    surface ``kovf`` — the equal-shortest-length key-buffer overflow that
+    makes the early-stop rule fire sooner than the reference's unbounded
+    dict would (see warn_conv_mult_overflow).  Samples with global index
+    >= steps (the final window's tail) are masked out, so any window size
+    is valid.
     """
     n_windows = -(-steps // window)
     half = (steps // 2)
@@ -270,7 +275,62 @@ def streaming_scan(
     (states, st, cm), _ = jax.lax.scan(
         body, (states, st, cm), (jnp.arange(n_windows), ks)
     )
-    return states, st
+    return states, st, cm
+
+
+def warn_stream_overflow(overflow: np.ndarray, max_kept: np.ndarray,
+                         min_rank: np.ndarray, n_samples: int,
+                         name: str, capacity: int,
+                         rel_tol: float = 1e-9) -> None:
+    """Z truncation observability for the direct-counting stream paths
+    (STDC/PTDC): when a row's buffer overflowed, unique chains beyond the
+    ``capacity`` lowest-weight ones were dropped from Z.  Each dropped
+    chain contributes < exp(-max_kept) while Z >= exp(-min_rank), and at
+    most ``n_samples`` distinct chains can have been dropped, so the
+    RELATIVE Z deficit is < n_samples * exp(-(max_kept - min_rank)).
+    Overflow at production budgets routinely truncates only an utterly
+    negligible Boltzmann tail (bounds ~1e-13 observed at the reference's
+    d=9 default budget) — warn only when the bound exceeds ``rel_tol``."""
+    ovf = np.asarray(overflow)
+    if not ovf.any():
+        return
+    gap = np.asarray(max_kept) - np.asarray(min_rank)
+    rel = np.where(ovf, float(n_samples) * np.exp(-np.maximum(gap, 0.0)),
+                   0.0)
+    bad = int((rel > rel_tol).sum())
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"{name}: unique-chain buffer (stream_capacity={capacity}) "
+            f"overflowed with a non-negligible dropped tail in {bad} "
+            f"(row, class) cells — worst relative Z deficit bound "
+            f"{float(rel.max()):.2e}; raise stream_capacity (or use "
+            f"stream=False)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def warn_conv_mult_overflow(kovf: np.ndarray, name: str, cap: int) -> None:
+    """The streaming conv_mult automaton tracks novelty at the running
+    shortest length through a bounded key buffer; on overflow further
+    equal-length chains count as not-new, so the early-stop rule can fire
+    EARLIER than the reference's unbounded dict (fewer samples recorded —
+    conservative, but worth surfacing)."""
+    bad = int(np.asarray(kovf).sum())
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"{name}: conv_mult shortest-chain key buffer "
+            f"(conv_mult_unique_cap={cap}) overflowed in {bad} "
+            f"(row, droplet) cells — the extension rule may have stopped "
+            f"those droplets earlier than the reference rule; raise "
+            f"conv_mult_unique_cap",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 # ---------------------------------------------------------------------------

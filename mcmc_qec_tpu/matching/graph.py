@@ -14,6 +14,7 @@ Planar layer conventions (mwpm.py:52-63, 232-316):
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -44,9 +45,6 @@ def shortest_distance(spec: CodeSpec, a: np.ndarray, b: np.ndarray) -> np.ndarra
     if spec.family == "toric":
         diff = np.minimum(diff, spec.size - diff)
     return diff.sum(axis=-1)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=256)

@@ -291,3 +291,173 @@ def make_ladder_step(
         return LadderState(state, flag, tops0), bottom_eq, n_xyz[:, 0], swap_acc
 
     return step
+
+
+class PermLadderState(NamedTuple):
+    """Ladder state for position-carrying scans: ``state`` stays in
+    PHYSICAL chain order across steps; ``pos[b, j]`` is the rung position
+    currently held by physical chain j; ``flag`` is PER-CHAIN (the
+    top-descendant marker travels with its chain for free)."""
+
+    state: jax.Array  # (B, Nc, nq) uint8, physical order
+    flag: jax.Array  # (B, Nc) int32, per chain
+    tops0: jax.Array  # (B,) int32
+    pos: jax.Array  # (B, Nc) int32, chain -> rung position
+
+
+def perm_enter(ls: LadderState) -> PermLadderState:
+    B, Nc = ls.flag.shape
+    pos = jnp.broadcast_to(jnp.arange(Nc, dtype=jnp.int32)[None, :], (B, Nc))
+    # LadderState.flag is position-space; with pos = identity the same
+    # array is the per-chain flag
+    return PermLadderState(ls.state, ls.flag, ls.tops0, pos)
+
+
+def perm_exit(pls: PermLadderState) -> LadderState:
+    """Materialize position order with ONE gather (perm = argsort(pos))."""
+    perm = jnp.argsort(pls.pos, axis=1)
+    state = jnp.take_along_axis(pls.state, perm[:, :, None], axis=1)
+    flag = jnp.take_along_axis(pls.flag, perm, axis=1)
+    return LadderState(state, flag, pls.tops0)
+
+
+def make_perm_ladder_step(
+    spec: CodeSpec,
+    Nc: int,
+    iters: int = 10,
+    engine: str = "sweep",
+    exchange: str = "sequential",
+):
+    """Position-carrying variant of ``make_ladder_step`` for the PT
+    counting samplers (PTDC/PTRC, p_logical == 0): instead of physically
+    reordering the (B, Nc, nq) state on every accepted swap and gathering
+    the whole ladder each step (the r4 XLA-ladder swap chain that
+    dominated PTDC once sweeps were cheap — VERDICT r4 #3/#7), each chain
+    carries its current rung index and every permutation-dependent value
+    is produced GATHER-FREE:
+
+    - per-chain betas = one-hot(pos) @ betas — one flat (B*Nc, Nc)x(Nc, 3)
+      matmul;
+    - per-position Pauli counts = a one-hot-weighted broadcast reduction;
+    - accepted swaps increment/decrement ``pos`` ELEMENTWISE (a chain at
+      rung i moves to i+1), and swap the two (B, 3) count rows;
+    - the per-step observables (keys (B, Nc, 2), n_xyz) are emitted in
+      rung order through an exact one-hot contraction (uint32 keys split
+      into 16-bit halves so the f32 matmul is exact).
+
+    Scatter/gather forms of the same idea measured 2.9-20x SLOWER on the
+    remote TPU (XLA lowers loop-carried-index gathers in a scan body
+    pathologically); this all-matmul/elementwise form runs within ~6% of
+    the swap-free sampler skeleton (RESULTS.md round 5).
+
+    The sampled process is distributionally identical to
+    make_ladder_step's (same proposal kernels, same swap rule, same
+    sequential top->bottom sweep semantics — a chain can fall the whole
+    ladder in one step because ``pos`` updates between adjacent pairs).
+    No logical mixing: the counting samplers run p_logical=0
+    (decoders.py:146-153 use plain ladders).
+
+    Returns ``step(pls, key, betas) -> (pls, keys_pos, n_xyz_pos,
+    swap_acc)`` with keys/n_xyz in rung-position order; use
+    ``perm_enter``/``perm_exit`` around the scan.
+    """
+    from ..ops.engines import resolve_engine
+    from ..ops.pauli import make_hash_mults, pack_key
+
+    engine = resolve_engine(engine, "chain")
+    if exchange not in ("sequential", "even_odd"):
+        raise ValueError(
+            f"exchange={exchange!r}: expected 'sequential' or 'even_odd'"
+        )
+    if engine == "sweep":
+        from ..ops.dense_sweep import make_dense_sweep
+
+        sweep_fn = make_dense_sweep(spec)
+    else:
+        update = make_chain_update(spec, iters, include_logical=False)
+    mults = jnp.asarray(make_hash_mults(spec))
+    rng_nc = jnp.arange(Nc, dtype=jnp.int32)
+
+    def step(pls: PermLadderState, key: jax.Array, betas: jax.Array):
+        betas_j = jnp.asarray(betas, dtype=jnp.float32)  # (Nc, 3)
+        state, flag, tops0, pos = pls
+        B = state.shape[0]
+        k_sweep, k_swap = jax.random.split(key)
+
+        # chain j runs at rung pos[b, j]'s temperature (flat matmul)
+        oh = (pos[:, :, None] == rng_nc[None, None, :]).astype(jnp.float32)
+        betas_chain = (oh.reshape(B * Nc, Nc) @ betas_j).reshape(B, Nc, 3)
+
+        # 1) Metropolis on every rung (physical order, per-chain betas)
+        if engine == "sweep":
+            def body(s, k):
+                return sweep_fn(s, k, betas_chain), None
+
+            ks = jax.random.split(k_sweep, iters)
+            state, _ = jax.lax.scan(body, state, ks)
+        else:
+            state = update(state, k_sweep, betas_chain, 0.0)
+
+        # 2) Replica exchange on the rung indices
+        n_phys = count_errors_xyz(state).astype(jnp.float32)  # (B, Nc, 3)
+        # per-position counts: one-hot-weighted reduction over chains
+        n_at = jnp.sum(n_phys[:, :, None, :] * oh[:, :, :, None], axis=1)
+        accepts = [None] * (Nc - 1)
+
+        pair_iter = (
+            [(100 * ph + j, i) for ph in (0, 1)
+             for j, i in enumerate(range(ph, Nc - 1, 2))]
+            if exchange == "even_odd"
+            else list(enumerate(reversed(range(Nc - 1))))
+        )
+        for j, i in pair_iter:
+            ki = jax.random.fold_in(k_swap, j)
+            d_beta = betas_j[i + 1] - betas_j[i]
+            logr = jnp.sum(d_beta * (n_at[:, i + 1] - n_at[:, i]), axis=-1)
+            u = jax.random.uniform(ki, (B,), minval=1e-38)
+            acc = jnp.log(u) < logr  # (B,)
+            accepts[i] = acc.astype(jnp.int32)
+            # chains at rungs i / i+1 trade places — elementwise on pos
+            accp = acc[:, None]
+            pos = jnp.where(
+                accp & (pos == i), i + 1,
+                jnp.where(accp & (pos == i + 1), i, pos),
+            )
+            acc3 = acc[:, None]
+            ni, ni1 = n_at[:, i], n_at[:, i + 1]
+            n_at = n_at.at[:, i].set(jnp.where(acc3, ni1, ni))
+            n_at = n_at.at[:, i + 1].set(jnp.where(acc3, ni, ni1))
+
+        # 3) Flag bookkeeping (src/mcmc.py:100-103), per chain
+        at_top = pos == Nc - 1
+        at_bot = pos == 0
+        flag = jnp.where(at_top, 1, flag)
+        hit = jnp.sum(flag * at_bot, axis=1)  # 0/1 per ladder
+        tops0 = tops0 + hit
+        flag = jnp.where(at_bot, 0, flag)
+
+        # 4) Observables in rung order: exact one-hot contraction (the
+        # POST-swap one-hot; uint32 keys as 16-bit halves, every f32
+        # product <= 65535 and exactly one term per sum)
+        oh2 = (pos[:, :, None] == rng_nc[None, None, :]).astype(jnp.float32)
+        keys_phys = pack_key(spec, state, mults)  # (B, Nc, 2)
+        k16 = jnp.stack(
+            [keys_phys[..., 0] & 0xFFFF, keys_phys[..., 0] >> 16,
+             keys_phys[..., 1] & 0xFFFF, keys_phys[..., 1] >> 16], -1,
+        ).astype(jnp.float32)
+        kp = jnp.sum(
+            k16[:, :, None, :] * oh2[:, :, :, None], axis=1
+        ).astype(jnp.uint32)
+        keys_pos = jnp.stack(
+            [kp[..., 0] | (kp[..., 1] << 16),
+             kp[..., 2] | (kp[..., 3] << 16)], -1,
+        )
+        swap_acc = jnp.stack(accepts, axis=1)
+        return (
+            PermLadderState(state, flag, tops0, pos),
+            keys_pos,
+            n_at.astype(jnp.int32),
+            swap_acc,
+        )
+
+    return step

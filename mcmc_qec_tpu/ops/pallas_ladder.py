@@ -46,6 +46,8 @@ slicing of the packed planes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +58,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.base import CodeSpec
 from .dense_sweep import _color_tables
 from .tpu_info import scoped_vmem_limit
+
+# roofline-ablation debug knob: comma-separated kernel blocks to skip
+# (counts, flags, obs, fold, cat) — measurement only, NOT a valid sampler.
+# The round-5 decomposition measured with this (RESULTS.md): ALL
+# non-sweep per-step work together is ~1.5-4 ms of a ~42 ms device
+# window at d=5 B=2048 W=600; the window is sweep-VPU-bound, and the
+# ~26 ms previously attributed to the readout was the remote-tunnel
+# round-trip hiding inside single-shot wall-time measurements.
+_DEBUG_SKIP = os.environ.get("MQT_LADDER_SKIP", "")
 
 # slot lanes for per-syndrome scalars; n_pack <= 4 always (inner >= 32)
 SP = 8
@@ -101,7 +112,12 @@ def fused_vmem_estimate(spec: CodeSpec, Nc: int, window: int, iters: int,
     energy = (window // energy_chunk) * SP * batch_tile * 4
     scalars = 8 * rows * SP * 4
     traces = 5 * window * SP * batch_tile * 4 if track_traces else 0
-    return planes + transient + consts + energy + scalars + traces
+    # deferred-readout scratch (chunk of bottom planes + gate) and the
+    # fold's largest transients (onehot/eq_l/g_l at 128 lanes)
+    chunk_rows = energy_chunk * batch_tile
+    defer = 2 * chunk_rows * nq_pad * 4 + chunk_rows * SP * 4 \
+        + 3 * chunk_rows * 128 * 4
+    return planes + transient + consts + energy + scalars + traces + defer
 
 
 def pick_batch_tile(spec: CodeSpec, Nc: int, window: int, iters: int,
@@ -306,9 +322,12 @@ def make_pallas_ladder_window(
                pw_ref, iotp_ref, iote_ref, segt_ref, abt_ref, pwt_ref,
                keyc_ref, dor_ref, st_ref, fl_ref, tp_ref,
                eq_ref, sb_ref, st_out, fl_out, tp_out, eq_out, sb_out,
-               en_out, ba_out, bf_out, sw_out, *trace_outs):
+               en_out, ba_out, bf_out, sw_out, *trace_and_scratch):
+        # trailing refs: optional trace outputs, then the 3 VMEM scratch
+        # buffers of the deferred readout (bottom-rung planes + burn gate)
         if track_traces:
-            eqt_out, kt_out = trace_outs
+            eqt_out, kt_out = trace_and_scratch[:2]
+        sc0, sc1, scb = trace_and_scratch[-3:]
         seg_bf = seg_ref[:].astype(jnp.bfloat16)  # (nq_pad, SP)
         brd_bf = brd_ref[:].astype(jnp.bfloat16)  # (SP, nq_pad)
         brd2_bf = brd2_ref[:].astype(jnp.bfloat16)  # (SP, n_pos_out)
@@ -543,15 +562,19 @@ def make_pallas_ladder_window(
             # --- 3) replica-exchange sweep, top -> bottom ---------------
             # per-rung per-slot Pauli counts from the packed planes (with
             # the pre-mix top replaced): one segment matmul per component
-            R0m = jnp.concatenate(rows0, axis=0)  # (NR, nq_pad)
-            R1m = jnp.concatenate(rows1, axis=0)
-            if equal_betas:
+            if "counts" in _DEBUG_SKIP:
+                count_lists, u_sw = [], None
+            elif equal_betas:
                 # only total counts matter for the swap rule and energy
+                R0m = jnp.concatenate(rows0, axis=0)  # (NR, nq_pad)
+                R1m = jnp.concatenate(rows1, axis=0)
                 NE = seg_sum(R0m + R1m - R0m * R1m)  # (NR, SP)
                 count_lists = [
                     [NE[r * TB : (r + 1) * TB] for r in range(Nc)]
                 ]
             else:
+                R0m = jnp.concatenate(rows0, axis=0)  # (NR, nq_pad)
+                R1m = jnp.concatenate(rows1, axis=0)
                 NX = seg_sum(R0m * (1.0 - R1m))  # (NR, SP)
                 NY = seg_sum(R0m * R1m)
                 NZ = seg_sum((1.0 - R0m) * R1m)
@@ -559,7 +582,8 @@ def make_pallas_ladder_window(
                     [M[r * TB : (r + 1) * TB] for r in range(Nc)]
                     for M in (NX, NY, NZ)
                 ]
-            u_sw = runif((Nc, TB, SP), use, t)
+            if "counts" not in _DEBUG_SKIP:
+                u_sw = runif((Nc, TB, SP), use, t)
             use += 1
 
             def pair_logr(i):
@@ -617,52 +641,40 @@ def make_pallas_ladder_window(
                     apply_pair(i, jnp.log(u_sw[i]) < pair_logr(i))
 
             # --- 4) flag / tops0 bookkeeping (src/mcmc.py:100-103) ------
-            fls[Nc - 1] = jnp.ones((TB, SP), jnp.int32)
-            hit = (fls[0] == 1).astype(jnp.int32)  # (TB, SP)
-            tops = tops + hit
-            fls[0] = fls[0] * (1 - hit)
+            if "flags" not in _DEBUG_SKIP:
+                fls[Nc - 1] = jnp.ones((TB, SP), jnp.int32)
+                hit = (fls[0] == 1).astype(jnp.int32)  # (TB, SP)
+                tops = tops + hit
+                fls[0] = fls[0] * (1 - hit)
 
-            # --- 5) bottom-rung class readout + accumulators ------------
+            # --- 5) bottom-rung observation (deferred readout) ----------
+            # The full class readout + histogram + energy chain used to
+            # run here per step (~5 matmuls + ~18 small VPU ops); now the
+            # step only SNAPSHOTS the bottom-rung planes and the burn
+            # gate into VMEM scratch, and the histogram/energy math runs
+            # once per ``energy_chunk`` steps over the whole chunk in a
+            # few batched matmuls (the fold in one_chunk below).  The
+            # accumulated eq_count/since are bit-identical: the burn gate
+            # is stored per step, so the fold applies the exact per-step
+            # gating of decoders.py:63-68.  (Round-5 measurement note:
+            # this was built to attack VERDICT r4's "~26 ms readout
+            # floor", which turned out to be the remote-tunnel RTT, not
+            # readout — see the _DEBUG_SKIP note above.  The deferred
+            # form is kept: ~1-2 ms faster and the readout cost now
+            # scales O(1/energy_chunk) instead of O(1) per step.)
             b0 = rows0[0]
             b1 = rows1[0]
-            feats = mm(b0, ab_ref[0].astype(jnp.bfloat16)) + mm(
-                b1, ab_ref[1].astype(jnp.bfloat16)
-            )  # (TB, NBW) integer-valued
-            par = mod2(feats)
-            bits = mm(par, pw_bf).astype(jnp.int32)  # (TB, SP) class bits
-            burned = (tops >= tops_burn).astype(jnp.int32)  # (TB, SP)
-            if bits_to_eq == list(range(len(bits_to_eq))):
-                eq_idx = bits  # identity bit->class map (e.g. toric)
-            else:
-                eq_idx = jnp.zeros((TB, SP), jnp.int32)
-                for v in range(len(bits_to_eq)):
-                    eq_idx = eq_idx + (
-                        bits == v
-                    ).astype(jnp.int32) * bits_to_eq[v]
-            eq_l = mm(eq_idx.astype(jnp.float32), brdeq_bf)  # (TB, 128)
-            burned_l = mm(burned.astype(jnp.float32), brdeq_bf)
-            onehot = (iote_ref[:] == eq_l).astype(jnp.float32) * burned_l
-            eq_count = eq_count + onehot.astype(jnp.int32)
-            since = since + burned
-            newly = (burn_first < 0) & (burned > 0)
-            burn_first = jnp.where(
-                newly, jnp.zeros((TB, SP), jnp.int32) + t, burn_first
-            )
-            # energy in (SP, TB) layout so the trace buffer keeps TB in the
-            # lane dim (slot-lane layouts would pad 8 -> 128 lanes in VMEM)
-            if equal_betas:
-                # equal betas come with uniform energy weights (count
-                # of errors, decoders.py:99): one segment matmul
-                energy_t = w_ref[0, 0] * seg_sum_t(b0 + b1 - b0 * b1)
-            else:
-                energy_t = (
-                    w_ref[0, 0] * seg_sum_t(b0 * (1.0 - b1))
-                    + w_ref[0, 1] * seg_sum_t(b0 * b1)
-                    + w_ref[0, 2] * seg_sum_t((1.0 - b0) * b1)
-                )  # (SP, TB)
-            # accumulate chunk means in place (en_out zeroed at kernel start)
-            tc = t // energy_chunk
-            en_out[pl.ds(tc * SP, SP), :] += energy_t * (1.0 / energy_chunk)
+            if "obs" not in _DEBUG_SKIP:
+                c = t - (t // energy_chunk) * energy_chunk  # step in chunk
+                burned = (tops >= tops_burn).astype(jnp.int32)  # (TB, SP)
+                since = since + burned
+                newly = (burn_first < 0) & (burned > 0)
+                burn_first = jnp.where(
+                    newly, jnp.zeros((TB, SP), jnp.int32) + t, burn_first
+                )
+                sc0[pl.ds(c * TB, TB), :] = b0.astype(sc0.dtype)
+                sc1[pl.ds(c * TB, TB), :] = b1.astype(sc1.dtype)
+                scb[pl.ds(c * TB, TB), :] = burned.astype(jnp.float32)
             if track_traces:
                 # transposed class readout: traces live in (SP, TB) layout
                 featsT = tmm(abt_ref[0], b0) + tmm(abt_ref[1], b1)
@@ -682,8 +694,11 @@ def make_pallas_ladder_window(
                 for c2 in range(N_KEY):
                     kT = tmm(keyc_ref[c2], vq)  # (SP, TB), integer < 2^18
                     kt_out[c2, pl.ds(t * SP, SP), :] = kT.astype(jnp.int32)
-            R0 = jnp.concatenate(rows0, axis=0)
-            R1 = jnp.concatenate(rows1, axis=0)
+            if "cat" not in _DEBUG_SKIP:
+                R0 = jnp.concatenate(rows0, axis=0)
+                R1 = jnp.concatenate(rows1, axis=0)
+            # else: keep the post-sweep packed planes (valid only when mix
+            # and exchange are both off — measurement ablation)
             return (R0, R1) + tuple(fls) + tuple(sws) + (
                 tops, eq_count, since, burn_first
             )
@@ -693,7 +708,62 @@ def make_pallas_ladder_window(
         carry = (R0, R1) + tuple(fls) + tuple(sws) + (
             tops, eq_count, since, burn_first
         )
-        carry = jax.lax.fori_loop(0, window, one_step, carry)
+
+        ab0_bf = ab_ref[0].astype(jnp.bfloat16)
+        ab1_bf = ab_ref[1].astype(jnp.bfloat16)
+        EQI = 2 + 2 * Nc + 1  # carry index of eq_count
+
+        def one_chunk(tc, carry):
+            def inner(c, carry):
+                return one_step(tc * energy_chunk + c, carry)
+
+            carry = jax.lax.fori_loop(0, energy_chunk, inner, carry)
+            if "fold" in _DEBUG_SKIP:
+                return carry
+            # ---- deferred-readout fold: one batched class readout +
+            # histogram + energy over the whole chunk (C steps of scratch)
+            eq_count = carry[EQI]
+            P0 = sc0[:].astype(jnp.float32)  # (C*TB, nq_pad) 0/1 planes
+            P1 = sc1[:].astype(jnp.float32)
+            G = scb[:]  # (C*TB, SP) burn gate per step
+            feats = mm(P0, ab0_bf) + mm(P1, ab1_bf)  # (C*TB, NBW)
+            bits = mm(mod2(feats), pw_bf).astype(jnp.int32)  # (C*TB, SP)
+            if bits_to_eq == list(range(len(bits_to_eq))):
+                eq_idx = bits  # identity bit->class map (e.g. toric)
+            else:
+                eq_idx = jnp.zeros_like(bits)
+                for v in range(len(bits_to_eq)):
+                    eq_idx = eq_idx + (
+                        bits == v
+                    ).astype(jnp.int32) * bits_to_eq[v]
+            eq_l = mm(eq_idx.astype(jnp.float32), brdeq_bf)  # (C*TB, 128)
+            g_l = mm(G, brdeq_bf)
+            onehot = (
+                (iote_ref[:] == eq_l).astype(jnp.float32) * g_l
+            ).astype(jnp.int32)
+            for c2 in range(energy_chunk):  # row-block histogram reduce
+                eq_count = eq_count + onehot[c2 * TB : (c2 + 1) * TB]
+            # energy chunk mean: accumulate the small-integer component
+            # planes across the chunk FIRST (values <= C, bf16-exact), then
+            # one segment matmul per component into the (SP, TB) layout
+            if equal_betas:
+                orp = P0 + P1 - P0 * P1
+                acc = orp[:TB]
+                for c2 in range(1, energy_chunk):
+                    acc = acc + orp[c2 * TB : (c2 + 1) * TB]
+                en_row = w_ref[0, 0] * seg_sum_t(acc)
+            else:
+                comps = (P0 * (1.0 - P1), P0 * P1, (1.0 - P0) * P1)
+                en_row = jnp.zeros((SP, TB), jnp.float32)
+                for ci, comp in enumerate(comps):
+                    acc = comp[:TB]
+                    for c2 in range(1, energy_chunk):
+                        acc = acc + comp[c2 * TB : (c2 + 1) * TB]
+                    en_row = en_row + w_ref[0, ci] * seg_sum_t(acc)
+            en_out[pl.ds(tc * SP, SP), :] = en_row * (1.0 / energy_chunk)
+            return carry[:EQI] + (eq_count,) + carry[EQI + 1 :]
+
+        carry = jax.lax.fori_loop(0, n_chunks, one_chunk, carry)
         R0, R1 = carry[0], carry[1]
         fls = carry[2 : 2 + Nc]
         sws = carry[2 + Nc : 2 + 2 * Nc]
@@ -828,6 +898,13 @@ def make_pallas_ladder_window(
                 jax.ShapeDtypeStruct((n_rows, SP), jnp.int32),
                 jax.ShapeDtypeStruct((n_tiles * NR, SP), jnp.int32),
                 *trace_out_shapes,
+            ],
+            # deferred-readout scratch: one chunk of bottom-rung planes +
+            # the per-step burn gate (see the fold in one_chunk)
+            scratch_shapes=[
+                pltpu.VMEM((energy_chunk * TB, nq_pad), plane_dtype),
+                pltpu.VMEM((energy_chunk * TB, nq_pad), plane_dtype),
+                pltpu.VMEM((energy_chunk * TB, SP), jnp.float32),
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
             # larger codes (d >= 9: nq_pad 256+, Nc = d rungs) need more

@@ -71,12 +71,12 @@ def test_sharded_streaming_stdc_matches_unsharded():
         spec, 2, 800, True, "off", 0.0, "auto", False, False, 4096,
         _pick_stream_window(2, 800),
     )
-    distr, _ = fn(
+    distr = fn(
         shard_batch(seeds, mesh),
         jax.random.PRNGKey(5),
         jnp.asarray(betas_depolarizing(0.25), jnp.float32),
         jnp.asarray(betas_depolarizing(0.1), jnp.float32),
-    )
+    )[0]
     assert np.allclose(np.asarray(distr), d_ref, atol=1e-3), (distr, d_ref)
 
 

@@ -70,7 +70,7 @@ def _run_stream(keys, nxyz, *, window, capacity, rank_betas, nq,
             track_occupancy=track_occupancy,
         )
 
-    _, st = jax.jit(go)()
+    _, st, _ = jax.jit(go)()
     return st
 
 
@@ -276,6 +276,58 @@ class TestSTDCStreaming:
                      engine="sweep", stream=True, seed=0)
         tv = 0.5 * np.abs(distr / 100.0 - exact).sum(-1)
         assert tv.max() < 0.03, tv
+
+
+class TestOverflowObservability:
+    """The silent-bias sources of the bounded-memory path must warn
+    (ADVICE r4): Z truncation via StreamState.overflow and the conv_mult
+    key-buffer overflow via ConvMultState.kovf."""
+
+    def test_warn_helpers_fire_and_stay_silent(self):
+        import warnings
+
+        from mcmc_qec_tpu.decoders.streaming import (
+            warn_conv_mult_overflow,
+            warn_stream_overflow,
+        )
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            # overflowed with a 3.5-nat gap over 100 samples: rel bound
+            # ~3, must warn
+            warn_stream_overflow(np.array([[True, False]]),
+                                 np.array([[3.5, np.inf]]),
+                                 np.array([[0.0, 1.0]]), 100, "STDC", 8)
+            warn_conv_mult_overflow(np.array([[True]]), "STRC", 4)
+        assert len(w) == 2
+        assert "relative Z deficit" in str(w[0].message)
+        assert "conv_mult_unique_cap" in str(w[1].message)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            # no overflow -> silent
+            warn_stream_overflow(np.zeros((2, 2), bool),
+                                 np.full((2, 2), np.inf),
+                                 np.zeros((2, 2)), 100, "STDC", 8)
+            # overflow with a negligible dropped tail (60-nat gap) -> silent
+            warn_stream_overflow(np.array([[True]]), np.array([[70.0]]),
+                                 np.array([[10.0]]), 200_000, "STDC", 8)
+            warn_conv_mult_overflow(np.zeros((2, 2), bool), "STRC", 4)
+        assert not w
+
+    def test_stdc_stream_overflow_warns(self):
+        """A capacity far below the unique-chain count must raise the Z
+        truncation warning (and still decode)."""
+        from mcmc_qec_tpu.decoders import STDC
+        from mcmc_qec_tpu.models import get_spec
+        from mcmc_qec_tpu.models.noise import sample_depolarizing
+
+        spec = get_spec("toric", 3)
+        states = np.asarray(
+            sample_depolarizing(jax.random.PRNGKey(2), spec, 0.1, (2,))
+        )
+        with pytest.warns(RuntimeWarning, match="stream_capacity=16"):
+            STDC(spec, states, 0.1, 0.25, droplets=2, steps=400,
+                 engine="sweep", stream=True, stream_capacity=16, seed=0)
 
 
 class TestOtherDecodersStreaming:
