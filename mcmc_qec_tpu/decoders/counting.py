@@ -206,18 +206,30 @@ def z_direct_count(
     """
 
     def one(keys, n_xyz, v):
-        # one fused lexicographic sort (invalid samples of a key sort after
-        # valid ones so the group representative is valid whenever possible)
+        # one fused lexicographic sort; with a validity mask, invalid
+        # samples of a key sort after valid ones so the group
+        # representative is valid whenever possible.  The maskless path
+        # (the common one: conv_mult off) carries 2 fewer sort operands —
+        # the sort is the dominant cost of the whole reduction
         w_all = _weighted_length(n_xyz, betas_error)
-        k1, k2, vinv, w, vs = jax.lax.sort(
-            (keys[:, 0], keys[:, 1], (~v).astype(jnp.int32), w_all,
-             v.astype(jnp.int32)),
-            num_keys=3,
-        )
-        first = (
-            ((k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1))).at[0].set(True)
-            & (vs == 1)
-        )
+        if v is None:
+            k1, k2, w = jax.lax.sort(
+                (keys[:, 0], keys[:, 1], w_all), num_keys=2
+            )
+            first = (
+                (k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1))
+            ).at[0].set(True)
+        else:
+            k1, k2, vinv, w, vs = jax.lax.sort(
+                (keys[:, 0], keys[:, 1], (~v).astype(jnp.int32), w_all,
+                 v.astype(jnp.int32)),
+                num_keys=3,
+            )
+            first = (
+                ((k1 != jnp.roll(k1, 1)) | (k2 != jnp.roll(k2, 1)))
+                .at[0].set(True)
+                & (vs == 1)
+            )
 
         def reduce(mask):
             neg = -w
@@ -236,10 +248,10 @@ def z_direct_count(
     flat_keys = stream.keys.reshape((-1,) + stream.keys.shape[-2:])
     flat_nxyz = stream.n_xyz.reshape((-1,) + stream.n_xyz.shape[-2:])
     if valid is None:
-        flat_valid = jnp.ones(flat_keys.shape[:2], bool)
+        out = jax.vmap(lambda k, n: one(k, n, None))(flat_keys, flat_nxyz)
     else:
         flat_valid = valid.reshape((-1, valid.shape[-1]))
-    out = jax.vmap(one)(flat_keys, flat_nxyz, flat_valid)
+        out = jax.vmap(one)(flat_keys, flat_nxyz, flat_valid)
     lead = stream.keys.shape[:-2]
     if with_shortest:
         return out[0].reshape(lead), out[1].reshape(lead)
