@@ -181,6 +181,14 @@ def main():
             "ref cache was collected on different syndromes"
         assert np.array_equal(cache["warm"], warm), \
             "ref cache was collected with different warm starts"
+        if "budgets" in cache:  # caches from before round-5 lack the field
+            budgets = tuple(int(x) for x in cache["budgets"])
+            assert budgets == (args.stdc_steps, args.stdc_droplets,
+                               args.strc_steps), (
+                f"ref cache budgets {budgets} != this run's "
+                f"({args.stdc_steps}, {args.stdc_droplets}, "
+                f"{args.strc_steps})"
+            )
         ref_pteq_a = cache["ref_pteq_a"]
         ref_pteq_b = cache["ref_pteq_b"]
         ref_stdc = cache["ref_stdc"]
@@ -202,6 +210,8 @@ def main():
             args.ref_cache, states=states, warm=warm,
             ref_pteq_a=ref_pteq_a, ref_pteq_b=ref_pteq_b,
             ref_stdc=ref_stdc,
+            budgets=np.array([args.stdc_steps, args.stdc_droplets,
+                              args.strc_steps]),
             **({"ref_strc": ref_strc} if ref_strc is not None else {}),
         )
         if args.phase == "ref":

@@ -63,11 +63,15 @@ def collect(args):
             fails = conv = 0
             t0 = time.perf_counter()
             for rep in range(-(-args.n // B)):
-                states = np.asarray(
-                    sample_depolarizing(
-                        jax.random.PRNGKey(1000 * rep + d), spec, p, (B,)
-                    )
+                # fold p into the key: one key across the p-grid would
+                # sample common random numbers along p (correlated points;
+                # the bootstrap assumes independence).  Round-4's grid was
+                # collected pre-fix — its CI is slightly understated.
+                kp = jax.random.fold_in(
+                    jax.random.PRNGKey(1000 * rep + d),
+                    int(round(p * 100000)),
                 )
+                states = np.asarray(sample_depolarizing(kp, spec, p, (B,)))
                 truth = np_eq_class(spec, states)
                 res = PTEQ(spec, states, p, cfg, seed=rep + 1)
                 fails += int(

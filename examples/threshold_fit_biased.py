@@ -71,12 +71,14 @@ def collect(args):
             fails = conv = 0
             t0 = time.perf_counter()
             for rep in range(-(-args.n // B)):
-                states = np.asarray(
-                    sample_xyz(
-                        jax.random.PRNGKey(7000 * rep + 31 * d), spec,
-                        px, py, pz, (B,)
-                    )
+                # key folds in p too: reusing one key across the p-grid
+                # would sample common random numbers along p, correlating
+                # the fit's points (bootstrap assumes independence)
+                kp = jax.random.fold_in(
+                    jax.random.PRNGKey(7000 * rep + 31 * d),
+                    int(round(p * 100000)),
                 )
+                states = np.asarray(sample_xyz(kp, spec, px, py, pz, (B,)))
                 truth = np_eq_class(spec, states)
                 res = PTEQ_alpha(spec, states, pz_tilde, alpha, cfg,
                                  seed=rep + 1)

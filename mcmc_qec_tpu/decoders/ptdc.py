@@ -247,13 +247,20 @@ def PTDC(
                 jnp.asarray(ladder, jnp.float32), be)
         from .streaming import warn_stream_overflow
 
-        r_host = np.asarray(st.r)
-        min_rank = np.min(np.where(np.isfinite(r_host), r_host, np.inf),
-                          axis=-1)
-        warn_stream_overflow(np.asarray(st.overflow),
-                             np.asarray(st.max_kept), min_rank,
-                             droplets * Nc * steps_eff, "PTDC",
-                             stream_capacity)
+        overflow = np.asarray(st.overflow)
+        if overflow.any():
+            # min_rank reduced on-device: fetching st.r itself would move
+            # the whole (R, capacity) buffer over the remote tunnel
+            min_rank = np.asarray(
+                jax.jit(
+                    lambda r: jnp.min(
+                        jnp.where(jnp.isfinite(r), r, jnp.inf), axis=-1
+                    )
+                )(st.r)
+            )
+            warn_stream_overflow(overflow, np.asarray(st.max_kept),
+                                 min_rank, droplets * Nc * steps_eff,
+                                 "PTDC", stream_capacity)
         logz = logz_from_stream(st).reshape(B, K)
     else:
         stream_s, _ = _pt_stream(

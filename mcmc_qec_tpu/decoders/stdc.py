@@ -261,7 +261,10 @@ def stdc_run(
                              np.asarray(min_rank), droplets * steps,
                              "STDC", stream_capacity)
         if conv_mult:
-            warn_conv_mult_overflow(np.asarray(kovf), "STDC", 64)
+            from .streaming import CONV_MULT_UNIQUE_CAP
+
+            warn_conv_mult_overflow(np.asarray(kovf), "STDC",
+                                    CONV_MULT_UNIQUE_CAP)
     if metrics is not None:
         u_tot, u_half = [np.asarray(a) for a in out[2][:2]]
         late = (u_tot - u_half) / np.maximum(u_tot, 1)  # second-half share

@@ -230,7 +230,8 @@ def STRC(
         if conv_mult:
             from .streaming import warn_conv_mult_overflow
 
-            warn_conv_mult_overflow(np.asarray(out[3]), "STRC", 64)
+            warn_conv_mult_overflow(np.asarray(out[3]), "STRC",
+                                    CONV_MULT_UNIQUE_CAP)
     return np.asarray(out[0])
 
 

@@ -48,6 +48,10 @@ import numpy as np
 from ..models.base import CodeSpec
 
 SENTINEL = np.uint32(0xFFFFFFFF)
+# default size of the conv_mult equal-shortest-length key buffer; callers
+# that pass streaming_scan a different conv_mult_unique_cap must report
+# that value in warn_conv_mult_overflow
+CONV_MULT_UNIQUE_CAP = 64
 
 
 class StreamState(NamedTuple):
@@ -207,7 +211,7 @@ def streaming_scan(
     R: int,
     D: int,
     conv_mult: float = 0.0,
-    conv_mult_unique_cap: int = 64,
+    conv_mult_unique_cap: int = CONV_MULT_UNIQUE_CAP,
     track_occupancy: bool = True,
 ):
     """Run ``ceil(steps/window)`` sampling windows, folding each into the

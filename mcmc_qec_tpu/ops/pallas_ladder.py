@@ -112,11 +112,17 @@ def fused_vmem_estimate(spec: CodeSpec, Nc: int, window: int, iters: int,
     energy = (window // energy_chunk) * SP * batch_tile * 4
     scalars = 8 * rows * SP * 4
     traces = 5 * window * SP * batch_tile * 4 if track_traces else 0
-    # deferred-readout scratch (chunk of bottom planes + gate) and the
-    # fold's largest transients (onehot/eq_l/g_l at 128 lanes)
+    # deferred-readout scratch (chunk of bottom planes + gate), the
+    # fold's lane transients (onehot/eq_l/g_l at 128 lanes) and its
+    # plane-sized f32 transients (the P0/P1 casts plus, in the
+    # non-equal-betas branch, the three live component planes)
     chunk_rows = energy_chunk * batch_tile
-    defer = 2 * chunk_rows * nq_pad * 4 + chunk_rows * SP * 4 \
+    defer = (
+        2 * chunk_rows * nq_pad * 4
+        + chunk_rows * SP * 4
         + 3 * chunk_rows * 128 * 4
+        + 5 * chunk_rows * nq_pad * 4
+    )
     return planes + transient + consts + energy + scalars + traces + defer
 
 
@@ -203,6 +209,14 @@ def make_pallas_ladder_window(
     tests/test_pallas_ladder.py).
     """
     assert window % energy_chunk == 0
+    # the fold accumulates per-qubit error counts over a chunk BEFORE the
+    # bf16 segment matmul; integers are bf16-exact only up to 256
+    assert energy_chunk <= 256, "energy_chunk > 256 breaks bf16 exactness"
+    if "counts" in _DEBUG_SKIP and exchange != "none":
+        raise ValueError(
+            "MQT_LADDER_SKIP=counts is only coherent with exchange='none' "
+            "(the exchange sweep reads the skipped count tensors)"
+        )
     n_chunks = window // energy_chunk
     tables = _color_tables(spec)
     nq = spec.nq
