@@ -328,16 +328,18 @@ def bench_pteq(B=2048, max_steps=8000, d=5, p=0.15):
     cfg = PTEQConfig(engine="fused", max_steps=3 * max_steps, window=600,
                      iters=2, energy_chunk=12)
     PTEQ(spec, states, p, cfg)  # compile
-    best = 0.0
-    # best-of-5: this key's wall time is fetch-pipeline-heavy and the
-    # remote tunnel adds +-15-20% between invocations even on an idle
-    # host (measured r5; same seeds, deterministic device work) — more
-    # reps tighten the max estimator where RTT jitter dominates
+    # best-of-5 with the per-rep rates returned for the record: this
+    # key's wall time is fetch-pipeline-heavy, and beyond per-call RTT
+    # jitter the tunnel shows PROCESS-level fast/slow modes (~1400 vs
+    # ~1800 syn/s at d=5 on an identical idle host and identical
+    # deterministic device work — measured r5).  The per-rep list lets a
+    # reader distinguish a slow-tunnel capture from a code regression.
+    rates = []
     for rep in range(5):
         t0 = time.perf_counter()
         PTEQ(spec, states, p, cfg, seed=rep % 3 + 1)
-        best = max(best, B / (time.perf_counter() - t0))
-    return best
+        rates.append(round(B / (time.perf_counter() - t0), 1))
+    return max(rates), rates
 
 
 def main():
@@ -376,7 +378,9 @@ def main():
         extra["stdc_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.85:
-            extra["pteq_hard_syndromes_per_sec_d5"] = round(bench_pteq(), 1)
+            pteq_best, pteq_rates = bench_pteq()
+            extra["pteq_hard_syndromes_per_sec_d5"] = round(pteq_best, 1)
+            extra["pteq_hard_d5_rep_rates"] = pteq_rates
     except Exception as e:  # pragma: no cover
         extra["pteq_error"] = str(e)[:200]
     try:
@@ -384,7 +388,7 @@ def main():
         # RESULTS.md records d=9/13 rows — d=9 is the bench-budget pick)
         if time.perf_counter() - t_start < budget * 0.87:
             extra["pteq_syndromes_per_sec_d9"] = round(
-                bench_pteq(B=512, d=9, p=0.10), 1)
+                bench_pteq(B=512, d=9, p=0.10)[0], 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_d9_error"] = str(e)[:200]
     try:
@@ -444,7 +448,7 @@ def main():
             # cap 96k (= 3 * 32000): measured 100% felkriteriet
             # convergence at d=13 (RESULTS.md round-4 production table)
             extra["pteq_syndromes_per_sec_d13"] = round(
-                bench_pteq(B=256, d=13, p=0.10, max_steps=32000), 1)
+                bench_pteq(B=256, d=13, p=0.10, max_steps=32000)[0], 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_d13_error"] = str(e)[:200]
     try:
