@@ -378,9 +378,17 @@ def main():
         extra["stdc_error"] = str(e)[:200]
     try:
         if time.perf_counter() - t_start < budget * 0.85:
+            # the PTEQ keys are the only tunnel-HEALTH-bound ones (the
+            # host loop syncs every window): the same device work measures
+            # 900-1800 syn/s depending on the hour's tunnel state while
+            # device-bound keys (fused_window, pallas) stay within 2%.
+            # Stamp the RTT right around the key so a low capture is
+            # self-explaining in the record (RESULTS round-5 headline #1).
+            extra["tunnel_rtt_ms_at_pteq"] = round(measure_tunnel_rtt(), 1)
             pteq_best, pteq_rates = bench_pteq()
             extra["pteq_hard_syndromes_per_sec_d5"] = round(pteq_best, 1)
             extra["pteq_hard_d5_rep_rates"] = pteq_rates
+            extra["tunnel_rtt_ms_after_pteq"] = round(measure_tunnel_rtt(), 1)
     except Exception as e:  # pragma: no cover
         extra["pteq_error"] = str(e)[:200]
     try:
